@@ -1,0 +1,104 @@
+"""Occupancy losses: class-balanced CE + geometric/semantic scal losses.
+
+Static-shape jnp ports of the reference losses:
+
+* occ_ce_loss      — mmdet CrossEntropyLoss with class_weight, sample weight
+                     = camera mask, avg_factor = sum of per-voxel class
+                     weights over visible voxels (occ_head.py:102-139).
+* geo_scal_loss    — occupied-vs-free precision/recall/specificity
+                     (losses/semkitti_loss.py:136-168).
+* sem_scal_loss    — per-class precision/recall/specificity
+                     (losses/semkitti_loss.py:170-226).
+
+The reference's ``inverse_sigmoid`` + BCE-with-logits(x, 1) composition is
+algebraically -log(clip(x, 1e-5, 1 - 1e-5)); we use that form directly.
+Boolean-mask indexing is replaced by multiplicative masks so shapes stay
+static under jit.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-5
+
+
+def _neg_log(x: jnp.ndarray) -> jnp.ndarray:
+    return -jnp.log(jnp.clip(x, _EPS, 1.0 - _EPS))
+
+
+def occ_ce_loss(logits: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray,
+                class_weight: jnp.ndarray) -> jnp.ndarray:
+    """Weighted softmax CE over visible voxels.
+
+    Args:
+      logits: (..., n_cls) fp32; labels: (...) int; mask: (...) {0,1}.
+      class_weight: (n_cls,) 1/log(freq) balance weights.
+    Returns scalar: sum(w_label * CE * mask) / sum(w_label * mask).
+    """
+    logits = logits.reshape(-1, logits.shape[-1]).astype(jnp.float32)
+    labels = labels.reshape(-1).astype(jnp.int32)
+    mask = mask.reshape(-1).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    w = class_weight[labels] * mask
+    avg_factor = jnp.sum(w)
+    return jnp.sum(ce * w) / jnp.maximum(avg_factor, 1e-6)
+
+
+def geo_scal_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                  mask: jnp.ndarray, free_class: int = 17) -> jnp.ndarray:
+    """-log precision/recall/specificity of binary occupied-vs-free."""
+    probs = jax.nn.softmax(
+        logits.reshape(-1, logits.shape[-1]).astype(jnp.float32), axis=-1)
+    labels = labels.reshape(-1)
+    mask = mask.reshape(-1).astype(jnp.float32)
+    empty_p = probs[:, free_class]
+    nonempty_p = 1.0 - empty_p
+    nonempty_t = (labels != free_class).astype(jnp.float32) * mask
+    empty_t = (labels == free_class).astype(jnp.float32) * mask
+
+    inter = jnp.sum(nonempty_t * nonempty_p)
+    precision = inter / (jnp.sum(nonempty_p * mask) + _EPS)
+    recall = inter / (jnp.sum(nonempty_t) + _EPS)
+    spec = jnp.sum(empty_t * empty_p) / (jnp.sum(empty_t) + _EPS)
+    return _neg_log(precision) + _neg_log(recall) + _neg_log(spec)
+
+
+def sem_scal_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                  mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-class precision/recall/specificity, averaged over classes present.
+
+    Loops classes 0..n_cls-2 (the free class is skipped).  Each term is only
+    added under the same data-dependent conditions as the reference
+    (semkitti_loss.py:194-219), expressed with jnp.where.
+    """
+    n_cls = logits.shape[-1]
+    probs = jax.nn.softmax(
+        logits.reshape(-1, n_cls).astype(jnp.float32), axis=-1)
+    labels = labels.reshape(-1)
+    mask = mask.reshape(-1).astype(jnp.float32)
+    n_masked = jnp.sum(mask)
+
+    onehot = jax.nn.one_hot(labels, n_cls, dtype=jnp.float32) * mask[:, None]
+    sum_t = jnp.sum(onehot, axis=0)                       # (n_cls,)
+    sum_p = jnp.sum(probs * mask[:, None], axis=0)        # (n_cls,)
+    inter = jnp.sum(probs * onehot, axis=0)               # (n_cls,)
+    spec_num = n_masked - sum_p - sum_t + inter
+    spec_den = n_masked - sum_t
+
+    precision = inter / (sum_p + _EPS)
+    recall = inter / (sum_t + _EPS)
+    spec = spec_num / (spec_den + _EPS)
+
+    loss_c = (jnp.where(sum_p > 0, _neg_log(precision), 0.0)
+              + jnp.where(sum_t > 0, _neg_log(recall), 0.0)
+              + jnp.where(spec_den > 0, _neg_log(spec), 0.0))
+    present = (sum_t > 0).astype(jnp.float32)
+    # skip the free (last) class
+    present = present.at[n_cls - 1].set(0.0)
+    count = jnp.sum(present)
+    total = jnp.sum(loss_c * present)
+    return jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)

@@ -1,0 +1,240 @@
+"""DHD model assembly (single-frame DHD-S path).
+
+Re-creates the reference detector stack ``DHD`` (detectors/DHD_model.py:11-241)
+as one flax module whose apply() is the whole forward pass:
+
+  image_encoder (ResNet50+FPN)  ->  depth-net (1x1) + HeightNet
+  -> fused MGHS voxel pooling   ->  BEV encoder || 3 slab UNets
+  -> SFA fusion                 ->  channel-to-height occupancy head
+
+Everything is channels-last, static-shape, jit-friendly.  The temporal/stereo
+variant (DHD-M/L) lives in models/dhd_stereo.py.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dhd_tpu.config import ModelConfig
+from dhd_tpu.geometry import create_frustum, frustum_to_ego, get_mlp_input
+from dhd_tpu.ops import compute_pool_indices, mghs_pool
+from dhd_tpu.nn import (
+    CustomFPN, CustomResNet, DepthNet, FPN_LSS, HeightNet, OccHead, ResNet50,
+    SFA, TinyCNN, UNet,
+)
+
+Dtype = Any
+
+
+def band_masks_from_height(height_prob: jnp.ndarray, vt) -> jnp.ndarray:
+    """Per-pixel height-band gates from the height distribution.
+
+    argmax bin -> height in meters (bin centers) -> one of the 3 bands
+    [h_min, thr1), [thr1, thr2), [thr2, h_max)
+    (lss_heightmap.py:528-564).  The top bin center equals h_max and is
+    excluded from every band, as in the reference.
+
+    Args:
+      height_prob: (..., fH, fW, H) softmaxed height distribution.
+    Returns:
+      (..., fH, fW, 3) float mask.
+    """
+    centers = jnp.asarray(vt.height_bin_centers(), dtype=jnp.float32)
+    hmap = centers[jnp.argmax(height_prob, axis=-1)]
+    lo, t1, t2, hi = vt.mask_range
+    m1 = (hmap >= lo) & (hmap < t1)
+    m2 = (hmap >= t1) & (hmap < t2)
+    m3 = (hmap >= t2) & (hmap < hi)
+    return jnp.stack([m1, m2, m3], axis=-1).astype(height_prob.dtype)
+
+
+def collapse_z(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, Dz, Dy, Dx, C) -> (B, Dy, Dx, Dz*C), z-major channel order.
+
+    Matches torch.cat(x.unbind(dim=2), 1) on (B, C, Dz, Dy, Dx)
+    (lss_heightmap.py:297-299).
+    """
+    b, dz, dy, dx, c = x.shape
+    return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, dy, dx, dz * c)
+
+
+class ImageEncoder(nn.Module):
+    """Backbone + neck over the folded (B*N) camera batch
+    (detectors/bevdet.py:21-44)."""
+    cfg: ModelConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, imgs, train: bool = False, stereo: bool = False):
+        cfg = self.cfg
+        if cfg.backbone == "resnet50":
+            feats = ResNet50(out_indices=cfg.backbone_out_indices,
+                             dtype=self.dtype, name="backbone")(imgs, train)
+        elif cfg.backbone == "tiny_cnn":
+            feats = TinyCNN(channels=(16, 32, 64, 128), dtype=self.dtype,
+                            name="backbone")(imgs, train)
+        else:
+            raise NotImplementedError(cfg.backbone)
+        stereo_feat = None
+        if stereo:
+            stereo_feat, feats = feats[0], feats[1:]
+        if cfg.img_neck == "custom_fpn":
+            x = CustomFPN(out_channels=cfg.img_neck_out_channels,
+                          dtype=self.dtype, name="neck")(feats, train)
+        elif cfg.img_neck == "fpn_lss":
+            x = FPN_LSS(out_channels=cfg.img_neck_out_channels,
+                        scale_factor=2, input_feature_index=(0, 1),
+                        extra_upsample=None, dtype=self.dtype,
+                        name="neck")(feats, train)
+        else:
+            raise NotImplementedError(cfg.img_neck)
+        return x, stereo_feat
+
+
+class MGHSTransform(nn.Module):
+    """MGHS view transformer: depth/height heads + fused voxel pooling
+    (lss_heightmap.py:13-490)."""
+    cfg: ModelConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, geom, train: bool = False, cost_volume=None):
+        """
+        Args:
+          feat: (B, N, fH, fW, C_in) image features.
+          geom: dict with sensor2keyego/intrins/post_rots/post_trans/bda.
+        Returns:
+          dict with bev (B,Dy,Dx,C), vox (B,Dz,Dy,Dx,C),
+          depth (B,N,fH,fW,D) and height (B,N,fH,fW,H) softmax distributions.
+        """
+        cfg = self.cfg
+        vt = cfg.vt
+        b, n, fh, fw, c_in = feat.shape
+        x = feat.reshape(b * n, fh, fw, c_in)
+
+        mlp_input = get_mlp_input(
+            geom["sensor2keyego"], geom["intrins"], geom["post_rots"],
+            geom["post_trans"], geom["bda"]).reshape(b * n, 27)
+
+        if cfg.depth_net == "conv1x1":
+            # DHD-S: one 1x1 conv emits depth logits + context features
+            # (lss_heightmap.py:62,482-485).
+            xd = nn.Conv(vt.D + vt.out_channels, (1, 1), dtype=self.dtype,
+                         name="depth_net")(x)
+            depth_logit = xd[..., :vt.D]
+            tran_feat = xd[..., vt.D:vt.D + vt.out_channels]
+        else:
+            xd = DepthNet(mid_channels=vt.in_channels,
+                          context_channels=vt.out_channels,
+                          depth_channels=vt.D,
+                          cfg=cfg.depthnet_cfg, dtype=self.dtype,
+                          name="depth_net")(x, mlp_input, cost_volume, train)
+            depth_logit = xd[..., :vt.D]
+            tran_feat = xd[..., vt.D:vt.D + vt.out_channels]
+
+        height_logit = HeightNet(
+            mid_channels=vt.in_channels,
+            height_channels=vt.num_height_bins,
+            cfg=cfg.heightnet_cfg, dtype=self.dtype,
+            name="height_net")(x, mlp_input, None, train)
+
+        depth = jax.nn.softmax(depth_logit.astype(jnp.float32), axis=-1)
+        height = jax.nn.softmax(height_logit.astype(jnp.float32), axis=-1)
+
+        band_mask = band_masks_from_height(height, vt)
+
+        coords = frustum_to_ego(
+            create_frustum(vt.depth, vt.input_size, vt.downsample, vt.sid),
+            geom["sensor2keyego"], geom["intrins"], geom["post_rots"],
+            geom["post_trans"], geom["bda"])
+        idx = compute_pool_indices(coords, vt)
+
+        # depth to point order (B, N, D, fH, fW); features channels-last.
+        depth_p = jnp.transpose(
+            depth.reshape(b, n, fh, fw, vt.D), (0, 1, 4, 2, 3))
+        feat_p = tran_feat.astype(self.dtype).reshape(
+            b, n, fh, fw, vt.out_channels)
+        bev, vox = mghs_pool(
+            depth_p.astype(self.dtype), feat_p,
+            band_mask.reshape(b, n, fh, fw, 3), idx, vt)
+        return {
+            "bev": bev, "vox": vox,
+            "depth": depth.reshape(b, n, fh, fw, vt.D),
+            "height": height.reshape(b, n, fh, fw, vt.num_height_bins),
+        }
+
+
+class BEVEncoder(nn.Module):
+    """CustomResNet + FPN_LSS over the z-collapsed BEV map
+    (DHD-S.py:106-113)."""
+    cfg: ModelConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cfg = self.cfg
+        feats = CustomResNet(num_channels=cfg.bev_encoder_channels,
+                             dtype=self.dtype, name="backbone")(x, train)
+        return FPN_LSS(out_channels=cfg.bev_neck_out_channels,
+                       dtype=self.dtype, name="neck")(feats, train)
+
+
+class DHDNet(nn.Module):
+    """Single-frame DHD (DHD-S).  apply() -> occ logits + aux distributions."""
+    cfg: ModelConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False
+                 ) -> Dict[str, jnp.ndarray]:
+        """
+        Args:
+          batch: dict with
+            imgs: (B, N, H, W, 3) normalized images
+            sensor2keyego, ego2global: (B, N, 4, 4)
+            intrins, post_rots: (B, N, 3, 3); post_trans: (B, N, 3)
+            bda: (B, 3, 3)
+        Returns:
+          dict with occ_logits (B, Dx, Dy, Dz, n_cls), depth, height.
+        """
+        cfg = self.cfg
+        b, n = batch["imgs"].shape[:2]
+        imgs = batch["imgs"].astype(self.dtype)
+        h_in, w_in = imgs.shape[2:4]
+        x, _ = ImageEncoder(cfg, dtype=self.dtype, name="img_encoder")(
+            imgs.reshape(b * n, h_in, w_in, 3), train)
+        fh, fw = x.shape[1:3]
+        x = x.reshape(b, n, fh, fw, x.shape[-1])
+
+        geom = {k: batch[k] for k in
+                ("sensor2keyego", "intrins", "post_rots", "post_trans", "bda")}
+        vt_out = MGHSTransform(cfg, dtype=self.dtype, name="vt")(
+            x, geom, train)
+
+        x_2d = BEVEncoder(cfg, dtype=self.dtype, name="bev_encoder")(
+            vt_out["bev"], train)
+
+        s1, s2, s3 = cfg.vt.slab_sizes
+        vox = vt_out["vox"]
+        slabs = [vox[:, :s1], vox[:, s1:s1 + s2], vox[:, s1 + s2:]]
+        outs3d = []
+        for i, slab in enumerate(slabs):
+            y = UNet(n_classes=cfg.voxel_encoder_out[i], dtype=self.dtype,
+                     name=f"voxel_encoder{i}")(collapse_z(slab), train)
+            outs3d.append(y)
+        x_3d = jnp.concatenate(outs3d, axis=-1)
+
+        fused = SFA(out_channels=cfg.sfa_out_channels, dtype=self.dtype,
+                    name="sfa")(jnp.concatenate([x_2d, x_3d], axis=-1), train)
+        occ = OccHead(out_dim=cfg.head_out_dim, Dz=cfg.head_Dz,
+                      num_classes=cfg.num_classes,
+                      use_predicter=cfg.use_predicter,
+                      dtype=self.dtype, name="occ_head")(fused, train)
+        return {
+            "occ_logits": occ.astype(jnp.float32),
+            "depth": vt_out["depth"],
+            "height": vt_out["height"],
+        }

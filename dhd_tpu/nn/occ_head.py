@@ -1,0 +1,42 @@
+"""FlashOcc-style channel-to-height occupancy head.
+
+Mirrors ``predictor`` (models/dense_heads/occ_head.py:33-100): 3x3 conv, a
+(Dy, Dx) -> (Dx, Dy) transpose, then an MLP (Linear -> Softplus -> Linear)
+reshaped to (B, Dx, Dy, Dz, num_classes).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class OccHead(nn.Module):
+    out_dim: int = 256
+    Dz: int = 16
+    num_classes: int = 18
+    use_predicter: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (B, Dy, Dx, C) channels-last.
+        out_ch = self.out_dim if self.use_predicter \
+            else self.num_classes * self.Dz
+        x = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
+                    name="final_conv")(x)
+        # reference permutes (B, C, Dy, Dx) -> (B, Dx, Dy, C)
+        # (occ_head.py:93); channels-last equivalent: swap the spatial axes.
+        x = jnp.swapaxes(x, 1, 2)
+        if self.use_predicter:
+            x = nn.Dense(self.out_dim * 2, dtype=self.dtype, name="fc0")(x)
+            x = jax.nn.softplus(x)
+            x = nn.Dense(self.num_classes * self.Dz, dtype=self.dtype,
+                         name="fc1")(x)
+            b, dx_, dy_ = x.shape[:3]
+            x = x.reshape(b, dx_, dy_, self.Dz, self.num_classes)
+        return x

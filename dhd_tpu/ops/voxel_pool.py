@@ -1,0 +1,184 @@
+"""Frustum -> voxel pooling (BEVPoolv2) as TPU-native segment reductions.
+
+The reference implements this with a CUDA scatter kernel over sorted point
+ranks (ops/bev_pool_v2/src/bev_pool_cuda.cu:21-142) and builds the index
+arrays with a dynamic-shape filter + argsort on device
+(lss_heightmap.py:303-371).  On TPU we keep *static* shapes: every frustum
+point exists, out-of-grid points are routed to one extra dummy segment that is
+sliced off, and the scatter-add is a ``jax.ops.segment_sum`` whose transpose
+(a gather) gives the backward pass for free — matching the CUDA backward
+(bev_pool_cuda.cu:69-123) without a hand-written kernel.
+
+The MGHS trick (4 pooling passes: full z-collapsed grid + 3 height-band slabs,
+lss_heightmap.py:407-459) is fused here into TWO segment-sums sharing one
+coordinate computation:
+
+* the *BEV* pass pools ``depth * feat`` into the z-collapsed (Dz=1) grid;
+* the *voxel* pass pools into the fine 16-layer grid with a per-point gate
+  ``band_mask[pixel, band(z_voxel)]`` — algebraically identical to the
+  reference's three masked pooling passes, because a point lands in exactly
+  one fine z-voxel, which belongs to exactly one height band, and the band
+  masks gate features per-pixel.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dhd_tpu.config import ViewTransformConfig
+
+
+def _trunc_index(coord: jnp.ndarray, lower: float, interval: float
+                 ) -> jnp.ndarray:
+    """Voxelize with round-toward-zero semantics.
+
+    The reference uses torch ``.long()`` (truncation), so values in
+    (lower - interval, lower) also map to index 0 and pass the >= 0 bound
+    check (lss_heightmap.py:331-348).  jnp ``astype(int32)`` truncates the
+    same way; we replicate rather than 'fix' this for bit-parity.
+    """
+    return ((coord - lower) / interval).astype(jnp.int32)
+
+
+@dataclasses.dataclass(frozen=True)
+class PoolIndices:
+    """Static-shape pooling indices for one batch of frustum geometry.
+
+    All arrays are flattened over (B, N, D, fH, fW) points.
+    ``seg_*`` index into the flattened output grid of the respective pass,
+    with the value ``num_seg_*`` (one past the end) marking dropped points.
+    """
+    seg_bev: jnp.ndarray      # (P,) int32 into [0, B*Dy*Dx]
+    seg_vox: jnp.ndarray      # (P,) int32 into [0, B*Dz*Dy*Dx]
+    band: jnp.ndarray         # (P,) int32 in [0, 2], band of the point's z voxel
+    num_seg_bev: int
+    num_seg_vox: int
+
+
+def compute_pool_indices(coords: jnp.ndarray, vt: ViewTransformConfig
+                         ) -> PoolIndices:
+    """Build segment ids for the fused MGHS pooling.
+
+    Args:
+      coords: (B, N, D, fH, fW, 3) ego-frame xyz from
+        :func:`dhd_tpu.geometry.frustum_to_ego`.
+      vt: grid geometry.
+    Returns:
+      :class:`PoolIndices` with flattened (P,) segment ids.
+    """
+    b = coords.shape[0]
+    dx, dy = vt.x.size, vt.y.size
+    dz_fine = vt.z_fine.size
+    s1, s2, _ = vt.slab_sizes
+
+    x = coords[..., 0]
+    y = coords[..., 1]
+    z = coords[..., 2]
+    xi = _trunc_index(x, vt.x.lower, vt.x.interval)
+    yi = _trunc_index(y, vt.y.lower, vt.y.interval)
+    zi_full = _trunc_index(z, vt.z_full.lower, vt.z_full.interval)
+    zi_fine = _trunc_index(z, vt.z_fine.lower, vt.z_fine.interval)
+
+    in_xy = (xi >= 0) & (xi < dx) & (yi >= 0) & (yi < dy)
+    ok_bev = in_xy & (zi_full >= 0) & (zi_full < vt.z_full.size)
+    ok_vox = in_xy & (zi_fine >= 0) & (zi_fine < dz_fine)
+
+    batch_idx = jnp.arange(b, dtype=jnp.int32).reshape(
+        (b,) + (1,) * (coords.ndim - 2))
+    # rank layout matches the reference: ((b*Dz + z)*Dy + y)*Dx + x
+    # (lss_heightmap.py:351-354); outputs are (B, Dz, Dy, Dx, C).
+    num_seg_bev = b * vt.z_full.size * dy * dx
+    num_seg_vox = b * dz_fine * dy * dx
+    seg_bev = ((batch_idx * vt.z_full.size + zi_full) * dy + yi) * dx + xi
+    seg_vox = ((batch_idx * dz_fine + zi_fine) * dy + yi) * dx + xi
+    seg_bev = jnp.where(ok_bev, seg_bev, num_seg_bev)
+    seg_vox = jnp.where(ok_vox, seg_vox, num_seg_vox)
+
+    zi_c = jnp.clip(zi_fine, 0, dz_fine - 1)
+    band = jnp.where(zi_c < s1, 0, jnp.where(zi_c < s1 + s2, 1, 2))
+
+    return PoolIndices(
+        seg_bev=seg_bev.reshape(-1),
+        seg_vox=seg_vox.reshape(-1),
+        band=band.reshape(-1).astype(jnp.int32),
+        num_seg_bev=num_seg_bev,
+        num_seg_vox=num_seg_vox,
+    )
+
+
+def mghs_pool(depth: jnp.ndarray, feat: jnp.ndarray, band_mask: jnp.ndarray,
+              idx: PoolIndices, vt: ViewTransformConfig
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused MGHS pooling: one BEV splat + one height-gated fine-voxel splat.
+
+    Equivalent to the reference's 4 bev_pool_v2 passes in
+    MGHS.view_transform (lss_heightmap.py:407-459) — see module docstring for
+    the fusion argument.
+
+    Args:
+      depth: (B, N, D, fH, fW) softmaxed depth distribution.
+      feat: (B, N, fH, fW, C) context features (channels-last).
+      band_mask: (B, N, fH, fW, 3) per-pixel height-band gate in {0, 1}.
+      idx: precomputed :class:`PoolIndices`.
+      vt: grid geometry.
+    Returns:
+      bev: (B, Dy, Dx, C) z-collapsed splat.
+      vox: (B, Dz_fine, Dy, Dx, C) height-gated fine splat.
+    """
+    b, n, d, fh, fw = depth.shape
+    c = feat.shape[-1]
+    dx, dy, dz = vt.x.size, vt.y.size, vt.z_fine.size
+
+    # Outer product depth (x) feat, materialized once and shared by both
+    # passes (XLA fuses the gate multiply).  (B, N, D, fH, fW, C)
+    vals = depth[..., None] * feat[:, :, None]
+    vals = vals.reshape(-1, c)
+
+    # Per-point gate: the band mask of the point's *voxel* z band.
+    gate = jnp.take_along_axis(
+        band_mask[:, :, None],                       # (B, N, 1, fH, fW, 3)
+        idx.band.reshape(b, n, d, fh, fw)[..., None], axis=-1
+    )[..., 0]
+    gate = gate.reshape(-1, 1).astype(vals.dtype)
+
+    bev = jax.ops.segment_sum(vals, idx.seg_bev,
+                              num_segments=idx.num_seg_bev + 1)
+    vox = jax.ops.segment_sum(vals * gate, idx.seg_vox,
+                              num_segments=idx.num_seg_vox + 1)
+    bev = bev[:-1].reshape(b, vt.z_full.size, dy, dx, c)
+    vox = vox[:-1].reshape(b, dz, dy, dx, c)
+    # z-collapse of the main grid: Dz_full is 1 for DHD, so this is a squeeze;
+    # for generality sum-collapse like torch.cat(unbind(2)) would concat, but
+    # the main grid always has Dz=1 in every DHD config.
+    assert vt.z_full.size == 1, "main DHD grid is z-collapsed (Dz=1)"
+    return bev[:, 0], vox
+
+
+def bev_pool_v2(depth: jnp.ndarray, feat: jnp.ndarray,
+                ranks_depth: jnp.ndarray, ranks_feat: jnp.ndarray,
+                ranks_bev: jnp.ndarray,
+                bev_feat_shape: Tuple[int, int, int, int, int]) -> jnp.ndarray:
+    """API-parity port of the reference ``bev_pool_v2`` wrapper.
+
+    out[ranks_bev[i]] += depth.flat[ranks_depth[i]] * feat.flat_rows[ranks_feat[i]]
+    (ops/bev_pool_v2/bev_pool.py:86-106, bev_pool_cuda.cu:39-49).  Unlike the
+    CUDA op this needs no interval_starts/lengths: segment_sum handles
+    duplicate ranks, and autodiff provides the depth/feat gradients.
+
+    Args:
+      depth: (B, N, D, fH, fW); feat: (B, N, fH, fW, C).
+      ranks_*: (P,) int32 index arrays (need not be sorted).
+      bev_feat_shape: (B, Dz, Dy, Dx, C).
+    Returns:
+      (B, Dz, Dy, Dx, C) pooled grid (channels-last; callers can transpose).
+    """
+    b, dz, dy, dx, c = bev_feat_shape
+    num_seg = b * dz * dy * dx
+    d_flat = depth.reshape(-1)
+    f_flat = feat.reshape(-1, feat.shape[-1])
+    vals = d_flat[ranks_depth, None] * f_flat[ranks_feat]
+    out = jax.ops.segment_sum(vals, ranks_bev, num_segments=num_seg)
+    return out.reshape(b, dz, dy, dx, c)
