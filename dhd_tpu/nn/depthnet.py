@@ -85,8 +85,7 @@ class DeformConv(nn.Module):
             nn.initializers.he_normal(),
             (k, cg, g, og), jnp.float32).astype(self.dtype)
         sampled = sampled.reshape(b, h, w, k, g, cg)
-        return jnp.einsum("bhwkgc,kcgo->bhwgo", sampled,
-                          jnp.swapaxes(wgt, 1, 2)
+        return jnp.einsum("bhwkgc,kcgo->bhwgo", sampled, wgt
                           ).reshape(b, h, w, self.features)
 
 
