@@ -159,6 +159,7 @@ class ModelConfig:
     bev_encoder: str = "custom_resnet"   # 'custom_resnet' | 'unet'
     bev_encoder_channels: Tuple[int, ...] = (128, 256, 512)
     bev_neck_out_channels: int = 256
+    bev_unet_out: int = 512              # UNet BEV encoder output (DHD-M)
     # voxel (slab) encoders: UNet output channels per band
     voxel_encoder_out: Tuple[int, int, int] = (64, 128, 64)
     # pre-process nets (DHD-M/L only)
@@ -189,27 +190,33 @@ def dhd_s() -> ModelConfig:
 
 def dhd_m() -> ModelConfig:
     """DHD-M: R50, 256x704, 1 history frame + stereo, UNet BEV encoder
-    (DHD-M.py diff vs DHD-S)."""
+    (DHD-M.py diff vs DHD-S: stereo DepthNet w/o DCN + aspp_mid 96 + bias 5,
+    UNet(128->512)+Identity BEV encoder, voxel UNets 512/512/1024 ->
+    128/256/128, SFA 1024->512, head in_dim 512, loss_depth_weight 0.05)."""
     return ModelConfig(
         name="dhd_m",
         temporal=True, num_adj_frames=1, stereo=True,
         backbone_out_indices=(0, 2, 3),
         depth_net="full",
-        depthnet_cfg=DepthNetConfig(stereo=True, use_dcn=True),
+        depthnet_cfg=DepthNetConfig(stereo=True, use_dcn=False,
+                                    aspp_mid_channels=96, bias=5.0),
         heightnet_cfg=DepthNetConfig(),
         vt=dataclasses.replace(
             ViewTransformConfig(),
             depth=GridConfig(1.0, 45.0, 0.5),
             collapse_z=False),
         bev_encoder="unet",
+        bev_unet_out=512,
         pre_process=True,
         voxel_encoder_out=(128, 256, 128),
-        sfa_in_channels=1024, sfa_out_channels=256,
+        sfa_in_channels=1024, sfa_out_channels=512,
+        head_in_dim=512,
+        loss=dataclasses.replace(LossConfig(), loss_depth_weight=0.05),
     )
 
 
 def dhd_l() -> ModelConfig:
-    """DHD-L: Swin-B, 512x1408, 1 history frame + stereo (DHD-L.py)."""
+    """DHD-L: Swin-B, 512x1408, 1 history frame + stereo (DHD-L.py:40-170)."""
     return ModelConfig(
         name="dhd_l",
         temporal=True, num_adj_frames=1, stereo=True,
@@ -230,8 +237,33 @@ def dhd_l() -> ModelConfig:
         bev_encoder="custom_resnet",
         bev_encoder_channels=(128, 256, 512),
         pre_process=True,
-        voxel_encoder_out=(128, 256, 128),
-        sfa_in_channels=1024, sfa_out_channels=256,
+        voxel_encoder_out=(64, 128, 64),
+        sfa_in_channels=512, sfa_out_channels=256,
+        loss=dataclasses.replace(LossConfig(), loss_depth_weight=0.05),
+    )
+
+
+def dhd_tiny_stereo() -> ModelConfig:
+    """Shrunken DHD-M-style temporal+stereo model for tests."""
+    base = dhd_tiny()
+    vt = dataclasses.replace(
+        base.vt,
+        depth=GridConfig(1.0, 12.0, 0.5),   # D=22, 0.5 m bins like M/L
+        collapse_z=False)
+    return dataclasses.replace(
+        base,
+        name="dhd_tiny_stereo",
+        temporal=True, num_adj_frames=1, stereo=True,
+        backbone_out_indices=(0, 2, 3),
+        depth_net="full",
+        depthnet_cfg=DepthNetConfig(stereo=True, use_dcn=False,
+                                    aspp_mid_channels=16, bias=5.0),
+        heightnet_cfg=DepthNetConfig(use_dcn=False, aspp_mid_channels=16),
+        vt=vt,
+        pre_process=True,
+        voxel_encoder_out=(16, 32, 16),
+        sfa_in_channels=192, sfa_out_channels=64,
+        loss=dataclasses.replace(LossConfig(), loss_depth_weight=0.05),
     )
 
 
@@ -266,6 +298,7 @@ _PRESETS = {
     "dhd_m": dhd_m,
     "dhd_l": dhd_l,
     "dhd_tiny": dhd_tiny,
+    "dhd_tiny_stereo": dhd_tiny_stereo,
 }
 
 

@@ -33,41 +33,67 @@ def _camera_ring(num_cams: int, rng: np.random.Generator) -> np.ndarray:
     return np.stack(mats).astype(np.float32)
 
 
+def _ego_pose(dist: float) -> np.ndarray:
+    """ego2global for an ego that has driven ``dist`` m along +x."""
+    m = np.eye(4, dtype=np.float32)
+    m[0, 3] = dist
+    return m
+
+
 def synthetic_batch(cfg: ModelConfig, batch_size: int = 1, seed: int = 0,
                     with_gt: bool = True) -> dict:
-    """Build a model-input batch (plus GT when ``with_gt``) of numpy arrays."""
+    """Build a model-input batch (plus GT when ``with_gt``) of numpy arrays.
+
+    Single-frame models get (B, N, ...) tensors; temporal models get the
+    frames-major (B, F, N, ...) layout with a small forward ego motion
+    between frames (newest first: frame 0 = key).
+    """
     rng = np.random.default_rng(seed)
     n = cfg.num_cams
     h, w = cfg.vt.input_size
     dx, dy, dz = cfg.vt.x.size, cfg.vt.y.size, cfg.vt.z_fine.size
 
-    imgs = rng.normal(0, 1, (batch_size, n, h, w, 3)).astype(np.float32)
-    s2e = np.stack([_camera_ring(n, rng) for _ in range(batch_size)])
-    e2g = np.broadcast_to(np.eye(4, dtype=np.float32),
-                          (batch_size, n, 4, 4)).copy()
+    if cfg.temporal:
+        f = cfg.num_frames
+        imgs = rng.normal(0, 1, (batch_size, f, n, h, w, 3)).astype(np.float32)
+        ring = np.stack([_camera_ring(n, rng) for _ in range(batch_size)])
+        s2e = np.broadcast_to(ring[:, None], (batch_size, f, n, 4, 4)).copy()
+        e2g = np.zeros((batch_size, f, n, 4, 4), np.float32)
+        for fi in range(f):
+            e2g[:, fi] = _ego_pose(-0.5 * fi)     # older frames further back
+    else:
+        imgs = rng.normal(0, 1, (batch_size, n, h, w, 3)).astype(np.float32)
+        s2e = np.stack([_camera_ring(n, rng) for _ in range(batch_size)])
+        e2g = np.broadcast_to(np.eye(4, dtype=np.float32),
+                              (batch_size, n, 4, 4)).copy()
     # nuScenes-ish intrinsics (fx ~ 1266 at 1600 px) scaled to input width.
+    view_shape = s2e.shape[:-2]
     fx = 1266.0 * w / 1600.0
-    intr = np.zeros((batch_size, n, 3, 3), np.float32)
+    intr = np.zeros(view_shape + (3, 3), np.float32)
     intr[..., 0, 0] = fx
     intr[..., 1, 1] = fx
     intr[..., 0, 2] = w / 2.0
     intr[..., 1, 2] = h / 2.0
     intr[..., 2, 2] = 1.0
     post_rots = np.broadcast_to(np.eye(3, dtype=np.float32),
-                                (batch_size, n, 3, 3)).copy()
-    post_trans = np.zeros((batch_size, n, 3), np.float32)
+                                view_shape + (3, 3)).copy()
+    post_trans = np.zeros(view_shape + (3,), np.float32)
     bda = np.broadcast_to(np.eye(3, dtype=np.float32),
                           (batch_size, 3, 3)).copy()
 
     batch = {
         "imgs": imgs,
-        "sensor2keyego": s2e,
-        "ego2global": e2g,
         "intrins": intr,
         "post_rots": post_rots,
         "post_trans": post_trans,
         "bda": bda,
     }
+    if cfg.temporal:
+        batch["sensor2ego"] = s2e
+        batch["ego2global"] = e2g
+    else:
+        batch["sensor2keyego"] = s2e
+        batch["ego2global"] = e2g
     if with_gt:
         n_cls = cfg.num_classes
         sem = rng.integers(0, n_cls, (batch_size, dx, dy, dz))

@@ -68,16 +68,21 @@ class ImageEncoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, imgs, train: bool = False, stereo: bool = False):
+    def __call__(self, imgs, train: bool = False, stereo: bool = False,
+                 stage0_only: bool = False):
         cfg = self.cfg
         if cfg.backbone == "resnet50":
             feats = ResNet50(out_indices=cfg.backbone_out_indices,
-                             dtype=self.dtype, name="backbone")(imgs, train)
+                             dtype=self.dtype, name="backbone")(
+                imgs, train, stage0_only=stage0_only)
         elif cfg.backbone == "tiny_cnn":
-            feats = TinyCNN(channels=(16, 32, 64, 128), dtype=self.dtype,
-                            name="backbone")(imgs, train)
+            feats = TinyCNN(channels=(16, 32, 64, 128), emit_stereo=stereo,
+                            dtype=self.dtype, name="backbone")(
+                imgs, train, stage0_only=stage0_only)
         else:
             raise NotImplementedError(cfg.backbone)
+        if stage0_only:
+            return feats, feats
         stereo_feat = None
         if stereo:
             stereo_feat, feats = feats[0], feats[1:]
@@ -115,8 +120,12 @@ class MGHSTransform(nn.Module):
         b, n, fh, fw, c_in = feat.shape
         x = feat.reshape(b * n, fh, fw, c_in)
 
+        # the MLP embedding always uses the *key* frame's sensor2keyego
+        # (DHD_model.py:422-424), which equals geom["sensor2keyego"] for
+        # single-frame models.
+        mlp_s2k = geom.get("mlp_sensor2keyego", geom["sensor2keyego"])
         mlp_input = get_mlp_input(
-            geom["sensor2keyego"], geom["intrins"], geom["post_rots"],
+            mlp_s2k, geom["intrins"], geom["post_rots"],
             geom["post_trans"], geom["bda"]).reshape(b * n, 27)
 
         if cfg.depth_net == "conv1x1":
@@ -168,14 +177,17 @@ class MGHSTransform(nn.Module):
 
 
 class BEVEncoder(nn.Module):
-    """CustomResNet + FPN_LSS over the z-collapsed BEV map
-    (DHD-S.py:106-113)."""
+    """BEV encoder over the z-collapsed BEV map: CustomResNet + FPN_LSS
+    (DHD-S.py:106-113) or a plain UNet + Identity (DHD-M)."""
     cfg: ModelConfig
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         cfg = self.cfg
+        if cfg.bev_encoder == "unet":
+            return UNet(n_classes=cfg.bev_unet_out, dtype=self.dtype,
+                        name="backbone")(x, train)
         feats = CustomResNet(num_channels=cfg.bev_encoder_channels,
                              dtype=self.dtype, name="backbone")(x, train)
         return FPN_LSS(out_channels=cfg.bev_neck_out_channels,

@@ -1,0 +1,236 @@
+"""DHD temporal + stereo model (DHD-M / DHD-L).
+
+Re-creates ``DHD_stereo`` (detectors/DHD_model.py:245-667) on top of the
+BEVDet4D/BEVStereo4D frame protocol (detectors/bevdet4d.py:208-288,
+bevstereo4d.py:13-275):
+
+* F = 1 key + num_adj history + 1 extra stereo ref frame.
+* frames processed newest-history-first; the extra-ref frame contributes only
+  its stride-4 stage-0 feature for the stereo cost volume; every non-key
+  frame is under stop_gradient (the torch.no_grad rule).
+* each processed frame runs the full MGHS transform with a stereo cost
+  volume against the *previous* frame's stereo features, followed by the
+  pre-process CustomResNets (collapse z -> 1-layer resnet -> restore z).
+* frame BEV/voxel grids are concatenated along channels (optionally after a
+  BEV-space warp when align_after_view_transformation), then the usual
+  bev-encoder / slab-UNet / SFA / head stack runs.
+
+Batch layout (our native API, cleaner than the reference's mixed
+camera-major/frame-major packing): every per-view tensor is (B, F, N, ...)
+frames-major; imgs is (B, F, N, H, W, 3).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dhd_tpu.config import ModelConfig
+from dhd_tpu.geometry import create_frustum, get_mlp_input
+from dhd_tpu.ops import grid_sample_2d
+from dhd_tpu.ops.cost_volume import stereo_cost_volume
+from dhd_tpu.nn import CustomResNet, OccHead, SFA, UNet
+from .dhd import BEVEncoder, ImageEncoder, MGHSTransform, collapse_z
+
+Dtype = Any
+
+
+def uncollapse_z(x: jnp.ndarray, dz: int) -> jnp.ndarray:
+    """(B, Dy, Dx, Dz*C) -> (B, Dz, Dy, Dx, C): inverse of collapse_z,
+    matching torch.stack(torch.chunk(x, Dz, 1), 2) (DHD_model.py:366-367)."""
+    b, dy, dx, zc = x.shape
+    return jnp.transpose(x.reshape(b, dy, dx, dz, zc // dz), (0, 3, 1, 2, 4))
+
+
+def shift_grid(dy: int, dx: int, curr_s2k: jnp.ndarray, prev_s2k: jnp.ndarray,
+               bda: jnp.ndarray, x_grid, y_grid) -> jnp.ndarray:
+    """Normalized BEV warp grid aligning a prev-frame BEV map to the key ego
+    frame (bevdet4d.py:43-116).
+
+    curr_s2k/prev_s2k: (B, 4, 4) cam-front sensor->keyego of the two frames.
+    Returns (B, Dy, Dx, 2) in [-1, 1].
+    """
+    hp = jax.lax.Precision.HIGHEST
+    b = curr_s2k.shape[0]
+    bda4 = jnp.zeros((b, 4, 4), curr_s2k.dtype)
+    bda4 = bda4.at[:, :3, :3].set(bda).at[:, 3, 3].set(1.0)
+    curr = jnp.einsum("bij,bjk->bik", bda4, curr_s2k, precision=hp)
+    prev = jnp.einsum("bij,bjk->bik", bda4, prev_s2k, precision=hp)
+    keyego2adjego = jnp.einsum("bij,bjk->bik", curr, jnp.linalg.inv(prev),
+                               precision=hp)
+    # drop the z row/col: BEV is 2D (bevdet4d.py:93)
+    keep = jnp.asarray([0, 1, 3])
+    k2a = keyego2adjego[:, keep][:, :, keep]            # (B, 3, 3)
+    feat2bev = jnp.asarray(
+        [[x_grid.interval, 0.0, x_grid.lower],
+         [0.0, y_grid.interval, y_grid.lower],
+         [0.0, 0.0, 1.0]], curr_s2k.dtype)
+    tf = jnp.einsum("ij,bjk,kl->bil", jnp.linalg.inv(feat2bev), k2a,
+                    feat2bev, precision=hp)
+    xs = jnp.arange(dx, dtype=jnp.float32)
+    ys = jnp.arange(dy, dtype=jnp.float32)
+    grid = jnp.stack(
+        [jnp.broadcast_to(xs[None, :], (dy, dx)),
+         jnp.broadcast_to(ys[:, None], (dy, dx)),
+         jnp.ones((dy, dx), jnp.float32)], axis=-1)      # (Dy, Dx, 3)
+    warped = jnp.einsum("bij,hwj->bhwi", tf, grid, precision=hp)
+    norm = jnp.asarray([dx - 1.0, dy - 1.0], jnp.float32)
+    return warped[..., :2] / norm * 2.0 - 1.0
+
+
+class DHDStereoNet(nn.Module):
+    """Temporal + stereo DHD (DHD-M/L)."""
+    cfg: ModelConfig
+    dtype: Dtype = jnp.float32
+
+    def _prepare_inputs(self, batch):
+        """Key-ego alignment + cur->adj sensor transforms
+        (bevdet4d.py:208-288), frames-major layout."""
+        hp = jax.lax.Precision.HIGHEST
+        s2e = batch["sensor2ego"].astype(jnp.float64)     # (B, F, N, 4, 4)
+        e2g = batch["ego2global"].astype(jnp.float64)
+        keyego2global = e2g[:, 0, 0][:, None, None]       # (B, 1, 1, 4, 4)
+        global2keyego = jnp.linalg.inv(keyego2global)
+        s2k = jnp.einsum("bfnij,bfnjk,bfnkl->bfnil",
+                         jnp.broadcast_to(global2keyego, e2g.shape),
+                         e2g, s2e, precision=hp).astype(jnp.float32)
+        # curr2adjsensor[f]: frame-f camera -> frame-(f+1) camera
+        cam2glob = jnp.einsum("bfnij,bfnjk->bfnik", e2g, s2e, precision=hp)
+        c2a = jnp.einsum("bfnij,bfnjk->bfnik",
+                         jnp.linalg.inv(cam2glob[:, 1:]),
+                         cam2glob[:, :-1], precision=hp).astype(jnp.float32)
+        return s2k, c2a
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False
+                 ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        vt = cfg.vt
+        num_frames = cfg.num_frames                   # key + adj + extra ref
+        b, f, n = batch["imgs"].shape[:3]
+        assert f == num_frames, (f, num_frames)
+        h_in, w_in = batch["imgs"].shape[3:5]
+        bda = batch["bda"]
+
+        s2k, c2a = self._prepare_inputs(batch)
+
+        img_encoder = ImageEncoder(cfg, dtype=self.dtype, name="img_encoder")
+        vt_mod = MGHSTransform(cfg, dtype=self.dtype, name="vt")
+        pre2d = CustomResNet(num_channels=(vt.out_channels,),
+                             num_layer=(1,), stride=(1,), dtype=self.dtype,
+                             name="pre_process") if cfg.pre_process else None
+        dz = vt.z_fine.size
+        pre3d = CustomResNet(num_channels=(vt.out_channels * dz,),
+                             num_layer=(1,), stride=(1,), dtype=self.dtype,
+                             name="pre_process_3d") if cfg.pre_process else None
+
+        cv_frustum = create_frustum(vt.depth, vt.input_size, downsample=4,
+                                    sid=vt.sid)
+
+        bev_list: List[Optional[jnp.ndarray]] = []
+        vox_list: List[Optional[jnp.ndarray]] = []
+        depth_key = height_key = None
+        feat_prev_iv = None
+
+        # frames newest-history first: fid = F-1 (extra ref) ... 0 (key)
+        for fid in range(num_frames - 1, -1, -1):
+            key_frame = fid == 0
+            extra_ref = cfg.stereo and fid == num_frames - 1
+            imgs_f = batch["imgs"][:, fid].astype(self.dtype)
+            imgs_flat = imgs_f.reshape(b * n, h_in, w_in, 3)
+
+            if extra_ref:
+                sfeat = img_encoder(imgs_flat, train, stage0_only=True)[0]
+                feat_prev_iv = jax.lax.stop_gradient(sfeat)
+                continue
+
+            geom = {
+                "sensor2keyego": s2k[:, fid],
+                "mlp_sensor2keyego": s2k[:, 0],
+                "intrins": batch["intrins"][:, fid],
+                "post_rots": batch["post_rots"][:, fid],
+                "post_trans": batch["post_trans"][:, fid],
+                "bda": bda,
+            }
+            if cfg.align_after_view_transformation:
+                geom["sensor2keyego"] = s2k[:, 0]
+
+            x, sfeat = img_encoder(imgs_flat, train, stereo=cfg.stereo)
+            fh, fw = x.shape[1:3]
+            x = x.reshape(b, n, fh, fw, x.shape[-1])
+
+            cost_volume = None
+            if cfg.stereo:
+                hs, ws = sfeat.shape[1:3]
+                cs = sfeat.shape[-1]
+                cv = stereo_cost_volume(
+                    feat_prev_iv.reshape(b, n, hs, ws, cs),
+                    sfeat.reshape(b, n, hs, ws, cs),
+                    cv_frustum, c2a[:, fid],
+                    batch["intrins"][:, fid], batch["post_rots"][:, fid],
+                    batch["post_trans"][:, fid],
+                    bias=cfg.depthnet_cfg.bias)
+                # DepthNet's cost_volumn_net consumes (B*N, Hs, Ws, D)
+                cost_volume = jnp.transpose(
+                    cv.reshape(b * n, vt.D, hs, ws), (0, 2, 3, 1)
+                ).astype(self.dtype)
+
+            out = vt_mod(x, geom, train, cost_volume=cost_volume)
+            bev, vox = out["bev"], out["vox"]
+
+            if cfg.pre_process:
+                bev = pre2d(bev, train)[0]
+                vox = uncollapse_z(pre3d(collapse_z(vox), train)[0], dz)
+
+            if key_frame:
+                depth_key, height_key = out["depth"], out["height"]
+            else:
+                bev = jax.lax.stop_gradient(bev)
+                vox = jax.lax.stop_gradient(vox)
+                feat_prev_iv = jax.lax.stop_gradient(sfeat)
+
+            bev_list.append(bev)
+            vox_list.append(vox)
+
+        # loop appended newest-history-first then key: [prev..., key] —
+        # same channel order as the reference concat (DHD_model.py:517-518).
+        if cfg.align_after_view_transformation:
+            dy_, dx_ = vt.y.size, vt.x.size
+            for i in range(len(bev_list) - 1):
+                src_fid = len(bev_list) - 1 - i    # frame id of bev_list[i]
+                grid = shift_grid(dy_, dx_, s2k[:, 0, 0], s2k[:, src_fid, 0],
+                                  bda, vt.x, vt.y)
+                bev_list[i] = grid_sample_2d(bev_list[i], grid)
+                v = vox_list[i]
+                vz = collapse_z(v)
+                vox_list[i] = uncollapse_z(grid_sample_2d(vz, grid), dz)
+
+        bev_cat = jnp.concatenate(bev_list, axis=-1)       # (B, Dy, Dx, F'*C)
+        vox_cat = jnp.concatenate(vox_list, axis=-1)       # (B, Dz, Dy, Dx, F'*C)
+
+        x_2d = BEVEncoder(cfg, dtype=self.dtype, name="bev_encoder")(
+            bev_cat, train)
+
+        s1, s2, _ = vt.slab_sizes
+        slabs = [vox_cat[:, :s1], vox_cat[:, s1:s1 + s2],
+                 vox_cat[:, s1 + s2:]]
+        outs3d = []
+        for i, slab in enumerate(slabs):
+            y = UNet(n_classes=cfg.voxel_encoder_out[i], dtype=self.dtype,
+                     name=f"voxel_encoder{i}")(collapse_z(slab), train)
+            outs3d.append(y)
+        x_3d = jnp.concatenate(outs3d, axis=-1)
+
+        fused = SFA(out_channels=cfg.sfa_out_channels, dtype=self.dtype,
+                    name="sfa")(jnp.concatenate([x_2d, x_3d], axis=-1), train)
+        occ = OccHead(out_dim=cfg.head_out_dim, Dz=cfg.head_Dz,
+                      num_classes=cfg.num_classes,
+                      use_predicter=cfg.use_predicter,
+                      dtype=self.dtype, name="occ_head")(fused, train)
+        return {
+            "occ_logits": occ.astype(jnp.float32),
+            "depth": depth_key,
+            "height": height_key,
+        }

@@ -29,7 +29,10 @@ class ResNet50(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stage0_only: bool = False):
+        """``stage0_only`` runs stem + layer1 only and returns that feature —
+        the stereo extra-ref-frame path (bevstereo4d.py:20-40).  Parameters
+        are shared with the full path by name."""
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     dtype=self.dtype, name="stem_conv")(x)
         x = BatchNorm(dtype=self.dtype, name="stem_bn")(x, train)
@@ -49,6 +52,8 @@ class ResNet50(nn.Module):
                     downsample=(blk == 0),
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{blk}")(x, train)
+            if stage0_only and stage == 0:
+                return x
             if stage in self.out_indices:
                 outs.append(x)
             planes *= 2
@@ -90,14 +95,20 @@ class TinyCNN(nn.Module):
     config's neck expects.
     """
     channels: Tuple[int, ...] = (16, 32, 64, 128)
+    emit_stereo: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stage0_only: bool = False):
         outs = []
         for i, ch in enumerate(self.channels):
             x = BasicBlock(ch, stride=2, downsample="conv",
                            dtype=self.dtype, name=f"b{i}")(x, train)
+            if i == 1:                                   # stride 4
+                if stage0_only:
+                    return x
+                if self.emit_stereo:
+                    outs.append(x)
         outs.append(x)                                   # stride 16
         x = BasicBlock(self.channels[-1], stride=2, downsample="conv",
                        dtype=self.dtype, name="b_last")(x, train)

@@ -1,0 +1,98 @@
+"""Temporal+stereo model (DHD-M/L path) on the tiny stereo config."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dhd_tpu.config import get_config
+from dhd_tpu.data import synthetic_batch
+from dhd_tpu.models import DHDStereoNet, build_model, uncollapse_z, collapse_z
+from dhd_tpu.ops.cost_volume import stereo_cost_volume
+from dhd_tpu.geometry import create_frustum
+from dhd_tpu.config import GridConfig
+
+
+@pytest.fixture(scope="module")
+def stereo_setup():
+    cfg = get_config("dhd_tiny_stereo")
+    model = build_model(cfg)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(cfg, batch_size=1).items()}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    return cfg, model, batch, variables
+
+
+def test_stereo_forward_shapes(stereo_setup):
+    cfg, model, batch, variables = stereo_setup
+    assert isinstance(model, DHDStereoNet)
+    out = model.apply(variables, batch, train=False)
+    dx, dy = cfg.vt.x.size, cfg.vt.y.size
+    assert out["occ_logits"].shape == (1, dx, dy, cfg.head_Dz,
+                                       cfg.num_classes)
+    fh, fw = cfg.vt.feat_size
+    assert out["depth"].shape == (1, cfg.num_cams, fh, fw, cfg.vt.D)
+    assert np.isfinite(np.asarray(out["occ_logits"])).all()
+
+
+def test_stereo_train_step():
+    from dhd_tpu.train import create_train_state, make_optimizer, make_train_step
+    cfg = get_config("dhd_tiny_stereo")
+    model = build_model(cfg)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(cfg, batch_size=1, seed=2).items()}
+    tx = make_optimizer(cfg.optim, steps_per_epoch=10)
+    state = create_train_state(model, cfg, jax.random.PRNGKey(0), batch, tx)
+    step = make_train_step(cfg, donate=False)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    # stereo models add depth supervision (DHD_model.py:610-612)
+    for key in ("loss_depth", "loss_height", "loss_occ", "loss_total"):
+        assert key in metrics and np.isfinite(float(metrics[key]))
+
+
+def test_no_grad_through_prev_frames():
+    """Only the key frame may contribute image-branch gradients
+    (torch.no_grad rule, DHD_model.py:437-439)."""
+    cfg = get_config("dhd_tiny_stereo")
+    model = build_model(cfg)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(cfg, batch_size=1, seed=3).items()}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    def loss_wrt_imgs(imgs):
+        b = dict(batch)
+        b["imgs"] = imgs
+        out = model.apply(variables, b, train=False)
+        return jnp.sum(out["occ_logits"] ** 2)
+
+    g = jax.grad(loss_wrt_imgs)(batch["imgs"])
+    g = np.asarray(g)
+    # frame 0 (key) has gradient; frames 1.. (prev + extra ref) do not
+    assert np.abs(g[:, 0]).sum() > 0
+    assert np.abs(g[:, 1:]).sum() == 0
+
+
+def test_cost_volume_identity_transform():
+    """With identity k2s and equal features the cost is 0 everywhere visible
+    -> near-uniform distribution over visible depth bins."""
+    b, n, hs, ws, c = 1, 1, 4, 8, 8
+    rng = np.random.default_rng(0)
+    feat = jnp.asarray(rng.normal(0, 1, (b, n, hs, ws, c)).astype(np.float32))
+    frustum = create_frustum(GridConfig(1.0, 5.0, 1.0), (hs * 4, ws * 4), 4)
+    k2s = jnp.broadcast_to(jnp.eye(4), (b, n, 4, 4))
+    intr = jnp.asarray([[[[20.0, 0, ws * 2], [0, 20.0, hs * 2],
+                          [0, 0, 1.0]]]])
+    pr = jnp.broadcast_to(jnp.eye(3), (b, n, 3, 3))
+    pt = jnp.zeros((b, n, 3))
+    cv = stereo_cost_volume(feat, feat, frustum, k2s, intr, pr, pt)
+    assert cv.shape == (b, n, 4, hs, ws)
+    np.testing.assert_allclose(np.asarray(cv.sum(2)), 1.0, atol=1e-5)
+    # identical features & identity reprojection -> cost 0 for all d -> uniform
+    center = np.asarray(cv[0, 0, :, hs // 2, ws // 2])
+    np.testing.assert_allclose(center, 0.25, atol=1e-5)
+
+
+def test_uncollapse_inverts_collapse():
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (2, 4, 6, 6, 3)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(uncollapse_z(collapse_z(x), 4)), np.asarray(x))
