@@ -79,6 +79,14 @@ class ImageEncoder(nn.Module):
             feats = TinyCNN(channels=(16, 32, 64, 128), emit_stereo=stereo,
                             dtype=self.dtype, name="backbone")(
                 imgs, train, stage0_only=stage0_only)
+        elif cfg.backbone == "swin_base":
+            from dhd_tpu.nn.swin import SwinTransformer
+            feats = SwinTransformer(
+                return_stereo_feat=stereo,
+                out_indices=cfg.backbone_out_indices
+                if not stereo else (2, 3),
+                dtype=self.dtype, name="backbone")(
+                imgs, train, stage0_only=stage0_only)
         else:
             raise NotImplementedError(cfg.backbone)
         if stage0_only:

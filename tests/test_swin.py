@@ -1,0 +1,84 @@
+"""Swin backbone unit tests (small instance; Swin-B config is the same code
+with larger dims)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dhd_tpu.nn.swin import (
+    SwinTransformer, _relative_position_index, _shift_attn_mask,
+    window_partition, window_reverse)
+
+
+def _small_swin(**kw):
+    kw.setdefault("window_size", 4)
+    return SwinTransformer(embed_dims=16, depths=(2, 2), num_heads=(2, 4),
+                           out_indices=(1,), **kw)
+
+
+def test_window_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 8, 12, 5)).astype(np.float32))
+    wins = window_partition(x, 4)
+    assert wins.shape == (2 * 2 * 3, 16, 5)
+    back = window_reverse(wins, 4, 8, 12)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_relative_position_index_range():
+    idx = _relative_position_index(4)
+    assert idx.shape == (16, 16)
+    assert idx.min() >= 0 and idx.max() < 49     # (2*4-1)^2
+    assert idx[0, 0] == idx[5, 5]                # same relative offset
+
+
+def test_shift_mask_blocks():
+    m = _shift_attn_mask(8, 8, 4, 2)
+    assert m.shape == (4, 16, 16)
+    assert set(np.unique(m)) <= {0.0, -100.0}
+    # the top-left window has no discontinuity -> all zeros
+    assert (m[0] == 0).all()
+
+
+def test_swin_forward_shapes():
+    model = _small_swin(return_stereo_feat=True)
+    x = jnp.zeros((2, 32, 48, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(variables, x)
+    # stereo feat (stride 4, 16ch) + stage1 normed out (stride 8, 32ch)
+    assert outs[0].shape == (2, 8, 12, 16)
+    assert outs[1].shape == (2, 4, 6, 32)
+
+
+def test_swin_nondivisible_input():
+    """H/W not divisible by window -> padding path (DHD-L: 128x352 vs 12)."""
+    model = _small_swin(window_size=5, return_stereo_feat=False)
+    x = jnp.zeros((1, 28, 44, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(variables, x)
+    assert outs[0].shape == (1, 4, 6, 32)   # ceil(7/2), ceil(11/2)
+    assert np.isfinite(np.asarray(outs[0])).all()
+
+
+def test_swin_stage0_only():
+    model = _small_swin(return_stereo_feat=True)
+    x = jnp.zeros((1, 32, 48, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    f = model.apply(variables, x, stage0_only=True)
+    assert f.shape == (1, 8, 12, 16)
+
+
+def test_swin_grads_finite():
+    model = _small_swin(return_stereo_feat=False)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (1, 16, 16, 3)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(v):
+        return sum(jnp.sum(o ** 2) for o in model.apply(
+            v, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)}))
+
+    g = jax.grad(loss)(variables)
+    flat = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(t)).all() for t in flat)
+    assert any(float(jnp.abs(t).sum()) > 0 for t in flat)
