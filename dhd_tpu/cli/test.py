@@ -1,0 +1,115 @@
+"""Evaluation CLI (the tools/test.py + dist_test.sh equivalent).
+
+  python -m dhd_tpu.cli.test --preset dhd_s --ann-file infos_val.pkl \
+      --checkpoint work_dirs/dhd_s/epoch_24 --eval miou
+  python -m dhd_tpu.cli.test --preset dhd_tiny --synthetic   # smoke
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate a DHD-TPU model")
+    p.add_argument("--preset", default="dhd_s")
+    p.add_argument("--ann-file", default=None)
+    p.add_argument("--data-root", default="")
+    p.add_argument("--checkpoint", default=None,
+                   help=".pth (converted on load) or orbax dir")
+    p.add_argument("--eval", default="miou", choices=["miou", "ray-iou"])
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--use-ema", action="store_true")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--limit", type=int, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import os
+    import jax
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dhd_tpu.config import get_config
+    from dhd_tpu.eval import MIoUMetric
+    from dhd_tpu.models import build_model
+
+    cfg = get_config(args.preset)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = build_model(cfg, dtype=dtype)
+
+    if args.synthetic or args.ann_file is None:
+        from dhd_tpu.data import synthetic_batch
+        batches = [synthetic_batch(cfg, batch_size=args.batch_size, seed=i)
+                   for i in range(2)]
+        infos = None
+    else:
+        from dhd_tpu.data.nuscenes import NuScenesOccDataset
+        from dhd_tpu.data.pipeline import SamplePipeline, collate
+        ds = NuScenesOccDataset(args.ann_file, args.data_root,
+                                num_adj_frames=cfg.num_adj_frames,
+                                stereo=cfg.stereo)
+        pipe = SamplePipeline(cfg, is_train=False, data_root=args.data_root)
+        n = min(len(ds), args.limit or len(ds))
+
+        def gen():
+            for i in range(0, n - n % args.batch_size, args.batch_size):
+                yield collate([pipe(ds.get_sample(i + j))
+                               for j in range(args.batch_size)])
+        batches = gen()
+        infos = ds.data_infos
+
+    example = {k: jnp.asarray(v) for k, v in
+               (batches[0] if isinstance(batches, list)
+                else next(iter(batches))).items()}
+    if args.checkpoint and args.checkpoint.endswith(".pth"):
+        from dhd_tpu.io.convert import load_torch_checkpoint
+        variables = load_torch_checkpoint(args.checkpoint, cfg)
+    else:
+        variables = jax.jit(lambda: model.init(
+            jax.random.PRNGKey(0), example, train=False))()
+        if args.checkpoint:
+            from dhd_tpu.io import load_checkpoint
+            restored = load_checkpoint(args.checkpoint)
+            src = restored.get("ema") if args.use_ema and \
+                restored.get("ema") else restored
+            variables = {"params": src["params"],
+                         "batch_stats": src["batch_stats"]}
+
+    @jax.jit
+    def eval_step(batch):
+        out = model.apply({"params": variables["params"],
+                           "batch_stats": variables["batch_stats"]},
+                          batch, train=False)
+        return jnp.argmax(out["occ_logits"], axis=-1).astype(jnp.uint8)
+
+    metric = MIoUMetric()
+    preds_list, gts_list, token_idx = [], [], []
+    it = batches if not isinstance(batches, list) else iter(batches)
+    for bi, batch in enumerate(it):
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        occ = np.asarray(eval_step(jbatch))
+        metric.add_batch(occ, batch["voxel_semantics"],
+                         batch["mask_camera"])
+        if args.eval == "ray-iou":
+            preds_list.extend(list(occ))
+            gts_list.extend(list(batch["voxel_semantics"]))
+            token_idx.extend(range(bi * args.batch_size,
+                                   (bi + 1) * args.batch_size))
+
+    if args.eval == "ray-iou" and infos is not None:
+        from dhd_tpu.eval import rayiou_from_outputs, scene_origins
+        origins = [scene_origins(infos, i) for i in token_idx]
+        res = rayiou_from_outputs(preds_list, gts_list, origins)
+        for k in ("RayIoU", "RayIoU@1", "RayIoU@2", "RayIoU@4"):
+            print(f"{k}: {res[k]:.4f}")
+    print(metric.summary(), flush=True)
+
+
+if __name__ == "__main__":
+    main()

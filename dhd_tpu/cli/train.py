@@ -1,0 +1,146 @@
+"""Training CLI (the tools/train.py + dist_train.sh equivalent).
+
+Single process drives all local devices through a data-parallel mesh — no
+launcher needed (torch.distributed.launch's job is done by GSPMD).
+
+  python -m dhd_tpu.cli.train --preset dhd_s --ann-file infos_train.pkl \
+      --data-root data/nuscenes --work-dir work_dirs/dhd_s
+  python -m dhd_tpu.cli.train --preset dhd_tiny --synthetic --steps 10
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train a DHD-TPU model")
+    p.add_argument("--preset", default="dhd_s")
+    p.add_argument("--ann-file", default=None, help="bevdetv2 infos pkl")
+    p.add_argument("--data-root", default="")
+    p.add_argument("--work-dir", default=None)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="global batch (default: reference per-GPU batch x "
+                        "num devices)")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--steps", type=int, default=None,
+                   help="cap total steps (debug)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on synthetic data (smoke test)")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-interval", type=int, default=50)
+    p.add_argument("--ckpt-interval", type=int, default=1,
+                   help="epochs between checkpoints")
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--load-from", default=None,
+                   help="warm-start .pth (converted) or orbax dir")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    # jax may be pre-imported by the interpreter; honor JAX_PLATFORMS anyway
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dhd_tpu.config import get_config
+    from dhd_tpu.data import synthetic_batch
+    from dhd_tpu.models import build_model
+    from dhd_tpu.parallel import make_mesh
+    from dhd_tpu.parallel.mesh import replicate, shard_batch
+    from dhd_tpu.train import (
+        create_train_state, make_optimizer, make_train_step)
+
+    cfg = get_config(args.preset)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = build_model(cfg, dtype=dtype)
+    n_dev = jax.device_count()
+    per_gpu = {"dhd_s": 4, "dhd_m": 3, "dhd_l": 2}.get(cfg.name, 1)
+    batch_size = args.batch_size or per_gpu * n_dev
+    epochs = args.epochs or cfg.optim.max_epochs
+    mesh = make_mesh()
+
+    if args.synthetic or args.ann_file is None:
+        n_samples = batch_size * 4
+
+        def epoch_batches():
+            for i in range(0, n_samples, batch_size):
+                yield synthetic_batch(cfg, batch_size=batch_size,
+                                      seed=args.seed + i)
+        steps_per_epoch = n_samples // batch_size
+    else:
+        from dhd_tpu.data.nuscenes import NuScenesOccDataset
+        from dhd_tpu.data.pipeline import SamplePipeline, collate
+        ds = NuScenesOccDataset(args.ann_file, args.data_root,
+                                num_adj_frames=cfg.num_adj_frames,
+                                stereo=cfg.stereo)
+        pipe = SamplePipeline(cfg, is_train=True, data_root=args.data_root,
+                              seed=args.seed)
+        order_rng = np.random.default_rng(args.seed)
+        steps_per_epoch = len(ds) // batch_size
+
+        def epoch_batches():
+            order = order_rng.permutation(len(ds))
+            for i in range(steps_per_epoch):
+                idxs = order[i * batch_size:(i + 1) * batch_size]
+                yield collate([pipe(ds.get_sample(int(j))) for j in idxs])
+
+    tx = make_optimizer(cfg.optim, steps_per_epoch=steps_per_epoch)
+    init_batch = {k: jnp.asarray(v) for k, v in next(epoch_batches()).items()}
+    state = create_train_state(model, cfg, jax.random.PRNGKey(args.seed),
+                               init_batch, tx)
+
+    if args.load_from:
+        from dhd_tpu.io import load_checkpoint
+        from dhd_tpu.io.convert import load_torch_checkpoint
+        if args.load_from.endswith(".pth"):
+            variables = load_torch_checkpoint(args.load_from, cfg)
+            state = state.replace(params=variables["params"],
+                                  batch_stats=variables["batch_stats"])
+        else:
+            state = load_checkpoint(args.load_from, state)
+    if args.resume_from:
+        from dhd_tpu.io import load_checkpoint
+        state = load_checkpoint(args.resume_from, state)
+
+    with jax.set_mesh(mesh):
+        state = replicate(state, mesh)
+        train_step = make_train_step(cfg)
+        rng = jax.random.PRNGKey(args.seed + 1)
+        step = int(state.step)
+        t0 = time.perf_counter()
+        for epoch in range(epochs):
+            for batch in epoch_batches():
+                sbatch = shard_batch(
+                    {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+                state, metrics = train_step(
+                    state, sbatch, jax.random.fold_in(rng, step))
+                step += 1
+                if step % args.log_interval == 0 or args.steps:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    dt = time.perf_counter() - t0
+                    print(f"epoch {epoch} step {step} "
+                          f"({dt / max(step, 1):.2f}s/it) "
+                          + " ".join(f"{k}={v:.4f}" for k, v in
+                                     sorted(m.items())), flush=True)
+                if args.steps and step >= args.steps:
+                    break
+            if args.work_dir and (epoch + 1) % args.ckpt_interval == 0:
+                from dhd_tpu.io import save_checkpoint
+                path = os.path.join(args.work_dir, f"epoch_{epoch + 1}")
+                save_checkpoint(path, jax.device_get(state))
+                print(f"saved checkpoint {path}", flush=True)
+            if args.steps and step >= args.steps:
+                break
+    print("training done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -65,19 +65,22 @@ class FPN_LSS(nn.Module):
         x = jnp.concatenate([x2, x1], axis=-1)
         cf = 2 if self.extra_upsample else 1
         mid = self.out_channels * cf
+        # names follow the torch Sequential indices (lss_fpn.py:31-48):
+        # conv.{0,1,3,4} and up2.{1,2,4}
         x = nn.Conv(mid, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype)(x)
-        x = BatchNorm(dtype=self.dtype)(x, train)
+                    dtype=self.dtype, name="conv_0")(x)
+        x = BatchNorm(dtype=self.dtype, name="conv_1")(x, train)
         x = nn.relu(x)
         x = nn.Conv(mid, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype)(x)
-        x = BatchNorm(dtype=self.dtype)(x, train)
+                    dtype=self.dtype, name="conv_3")(x)
+        x = BatchNorm(dtype=self.dtype, name="conv_4")(x, train)
         x = nn.relu(x)
         if self.extra_upsample:
             x = upsample_bilinear_align(x, self.extra_upsample)
             x = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
-                        dtype=self.dtype)(x)
-            x = BatchNorm(dtype=self.dtype)(x, train)
+                        dtype=self.dtype, name="up2_1")(x)
+            x = BatchNorm(dtype=self.dtype, name="up2_2")(x, train)
             x = nn.relu(x)
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="up2_4")(x)
         return x

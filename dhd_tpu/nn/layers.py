@@ -19,21 +19,19 @@ BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
 
 
-class BatchNorm(nn.Module):
-    """BatchNorm2d with torch defaults.
+def BatchNorm(dtype: Dtype = jnp.float32, name: Optional[str] = None):
+    """BatchNorm2d with torch defaults, created flat in the caller's scope.
 
     Under jit with batch-sharded inputs the mean/var reductions are global,
     i.e. this *is* SyncBN — the TPU-native equivalent of the reference's
     SyncbnControlHook (core/hook/syncbncontrol.py:10-33), always on.
     """
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
+    def apply(x, train: bool = False):
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM, epsilon=BN_EPS,
-            dtype=self.dtype, param_dtype=jnp.float32)(x)
+            dtype=dtype, param_dtype=jnp.float32, name=name)(x)
+    return apply
 
 
 class ConvBNReLU(nn.Module):
@@ -53,9 +51,10 @@ class ConvBNReLU(nn.Module):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=self.stride, padding=pad,
                     kernel_dilation=self.dilation,
-                    use_bias=self.use_bias, dtype=self.dtype)(x)
+                    use_bias=self.use_bias, dtype=self.dtype,
+                    name="conv")(x)
         if self.use_bn:
-            x = BatchNorm(dtype=self.dtype)(x, train)
+            x = BatchNorm(dtype=self.dtype, name="bn")(x, train)
         if self.act:
             x = nn.relu(x)
         return x
@@ -77,19 +76,21 @@ class BasicBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         if self.downsample == "conv":
             identity = nn.Conv(self.features, (3, 3), strides=self.stride,
-                               padding=1, dtype=self.dtype)(x)
+                               padding=1, dtype=self.dtype,
+                               name="downsample")(x)
         elif self.downsample == "conv1x1":
             identity = nn.Conv(self.features, (1, 1), strides=self.stride,
-                               padding=0, dtype=self.dtype)(x)
+                               padding=0, dtype=self.dtype,
+                               name="downsample")(x)
         else:
             identity = x
         y = nn.Conv(self.features, (3, 3), strides=self.stride, padding=1,
-                    use_bias=False, dtype=self.dtype)(x)
-        y = BatchNorm(dtype=self.dtype)(y, train)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = BatchNorm(dtype=self.dtype, name="bn1")(y, train)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype)(y)
-        y = BatchNorm(dtype=self.dtype)(y, train)
+                    dtype=self.dtype, name="conv2")(y)
+        y = BatchNorm(dtype=self.dtype, name="bn2")(y, train)
         return nn.relu(y + identity)
 
 
@@ -106,19 +107,23 @@ class Bottleneck(nn.Module):
         out_ch = self.planes * self.expansion
         if self.downsample:
             identity = nn.Conv(out_ch, (1, 1), strides=self.stride,
-                               use_bias=False, dtype=self.dtype)(x)
-            identity = BatchNorm(dtype=self.dtype)(identity, train)
+                               use_bias=False, dtype=self.dtype,
+                               name="downsample_conv")(x)
+            identity = BatchNorm(dtype=self.dtype,
+                                 name="downsample_bn")(identity, train)
         else:
             identity = x
-        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        y = BatchNorm(dtype=self.dtype)(y, train)
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = BatchNorm(dtype=self.dtype, name="bn1")(y, train)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
-                    use_bias=False, dtype=self.dtype)(y)
-        y = BatchNorm(dtype=self.dtype)(y, train)
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = BatchNorm(dtype=self.dtype, name="bn2")(y, train)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype)(y)
-        y = BatchNorm(dtype=self.dtype)(y, train)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = BatchNorm(dtype=self.dtype, name="bn3")(y, train)
         return nn.relu(y + identity)
 
 
@@ -130,9 +135,9 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.relu(x)
-        return nn.Dense(self.out, dtype=self.dtype)(x)
+        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
 
 
 class SELayer(nn.Module):
@@ -162,20 +167,22 @@ class ASPP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        b1 = ConvBNReLU(self.mid_channels, kernel=1, dtype=self.dtype)(x, train)
+        b1 = ConvBNReLU(self.mid_channels, kernel=1, dtype=self.dtype,
+                        name="aspp1")(x, train)
         b2 = ConvBNReLU(self.mid_channels, kernel=3, dilation=6,
-                        dtype=self.dtype)(x, train)
+                        dtype=self.dtype, name="aspp2")(x, train)
         b3 = ConvBNReLU(self.mid_channels, kernel=3, dilation=12,
-                        dtype=self.dtype)(x, train)
+                        dtype=self.dtype, name="aspp3")(x, train)
         b4 = ConvBNReLU(self.mid_channels, kernel=3, dilation=18,
-                        dtype=self.dtype)(x, train)
+                        dtype=self.dtype, name="aspp4")(x, train)
         g = jnp.mean(x, axis=(1, 2), keepdims=True)
-        g = ConvBNReLU(self.mid_channels, kernel=1, dtype=self.dtype)(g, train)
+        g = ConvBNReLU(self.mid_channels, kernel=1, dtype=self.dtype,
+                       name="gap")(g, train)
         g = jnp.broadcast_to(g, b4.shape[:-1] + (self.mid_channels,))
         y = jnp.concatenate([b1, b2, b3, b4, g], axis=-1)
         y = nn.Conv(self.out_channels, (1, 1), use_bias=False,
-                    dtype=self.dtype)(y)
-        y = BatchNorm(dtype=self.dtype)(y, train)
+                    dtype=self.dtype, name="conv1")(y)
+        y = BatchNorm(dtype=self.dtype, name="bn1")(y, train)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         return y

@@ -21,10 +21,13 @@ class EmaState(struct.PyTreeNode):
 
 
 def ema_init(params, batch_stats, init_updates: int) -> EmaState:
+    # jnp.array(copy=True): the EMA must NOT alias the live buffers, or
+    # donated train steps would donate the same buffer twice.
     return EmaState(
         updates=jnp.asarray(init_updates, jnp.int32),
-        params=jax.tree.map(jnp.asarray, params),
-        batch_stats=jax.tree.map(jnp.asarray, batch_stats),
+        params=jax.tree.map(lambda x: jnp.array(x, copy=True), params),
+        batch_stats=jax.tree.map(lambda x: jnp.array(x, copy=True),
+                                 batch_stats),
     )
 
 
