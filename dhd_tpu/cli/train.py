@@ -35,6 +35,10 @@ def parse_args():
     p.add_argument("--ckpt-interval", type=int, default=1,
                    help="epochs between checkpoints")
     p.add_argument("--resume-from", default=None)
+    p.add_argument("--temporal-start-epoch", type=int, default=None,
+                   help="train without history frames until this epoch "
+                        "(SequentialControlHook); default: always use them "
+                        "(DHD configs do not enable the hook)")
     p.add_argument("--load-from", default=None,
                    help="warm-start .pth (converted) or orbax dir")
     return p.parse_args()
@@ -112,11 +116,16 @@ def main():
 
     with jax.set_mesh(mesh):
         state = replicate(state, mesh)
-        train_step = make_train_step(cfg)
+        steps = {True: make_train_step(cfg)}
+        if cfg.temporal and args.temporal_start_epoch is not None:
+            steps[False] = make_train_step(cfg, with_prev=False)
         rng = jax.random.PRNGKey(args.seed + 1)
         step = int(state.step)
         t0 = time.perf_counter()
         for epoch in range(epochs):
+            use_prev = (args.temporal_start_epoch is None
+                        or epoch > args.temporal_start_epoch)
+            train_step = steps[use_prev if False in steps else True]
             for batch in epoch_batches():
                 sbatch = shard_batch(
                     {k: jnp.asarray(v) for k, v in batch.items()}, mesh)

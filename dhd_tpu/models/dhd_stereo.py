@@ -104,8 +104,12 @@ class DHDStereoNet(nn.Module):
         return s2k, c2a
 
     @nn.compact
-    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False
-                 ) -> Dict[str, jnp.ndarray]:
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False,
+                 with_prev: bool = True) -> Dict[str, jnp.ndarray]:
+        """``with_prev=False`` reproduces the SequentialControlHook's early
+        epochs (core/hook/sequentialcontrol.py + bevstereo4d.py:247-262):
+        history frames are skipped, the key frame sees a zero cost volume,
+        and the prev-BEV channels are zero-filled."""
         cfg = self.cfg
         vt = cfg.vt
         num_frames = cfg.num_frames                   # key + adj + extra ref
@@ -138,6 +142,8 @@ class DHDStereoNet(nn.Module):
         for fid in range(num_frames - 1, -1, -1):
             key_frame = fid == 0
             extra_ref = cfg.stereo and fid == num_frames - 1
+            if not with_prev and not key_frame:
+                continue
             imgs_f = batch["imgs"][:, fid].astype(self.dtype)
             imgs_flat = imgs_f.reshape(b * n, h_in, w_in, 3)
 
@@ -165,17 +171,24 @@ class DHDStereoNet(nn.Module):
             if cfg.stereo:
                 hs, ws = sfeat.shape[1:3]
                 cs = sfeat.shape[-1]
-                cv = stereo_cost_volume(
-                    feat_prev_iv.reshape(b, n, hs, ws, cs),
-                    sfeat.reshape(b, n, hs, ws, cs),
-                    cv_frustum, c2a[:, fid],
-                    batch["intrins"][:, fid], batch["post_rots"][:, fid],
-                    batch["post_trans"][:, fid],
-                    bias=cfg.depthnet_cfg.bias)
-                # DepthNet's cost_volumn_net consumes (B*N, Hs, Ws, D)
-                cost_volume = jnp.transpose(
-                    cv.reshape(b * n, vt.D, hs, ws), (0, 2, 3, 1)
-                ).astype(self.dtype)
+                if feat_prev_iv is None:
+                    # with_prev=False: zero cost volume
+                    # (depthnet.py:396-403)
+                    cost_volume = jnp.zeros((b * n, hs, ws, vt.D),
+                                            self.dtype)
+                else:
+                    cv = stereo_cost_volume(
+                        feat_prev_iv.reshape(b, n, hs, ws, cs),
+                        sfeat.reshape(b, n, hs, ws, cs),
+                        cv_frustum, c2a[:, fid],
+                        batch["intrins"][:, fid],
+                        batch["post_rots"][:, fid],
+                        batch["post_trans"][:, fid],
+                        bias=cfg.depthnet_cfg.bias)
+                    # DepthNet's cost_volumn_net consumes (B*N, Hs, Ws, D)
+                    cost_volume = jnp.transpose(
+                        cv.reshape(b * n, vt.D, hs, ws), (0, 2, 3, 1)
+                    ).astype(self.dtype)
 
             out = vt_mod(x, geom, train, cost_volume=cost_volume)
             bev, vox = out["bev"], out["vox"]
@@ -193,6 +206,17 @@ class DHDStereoNet(nn.Module):
 
             bev_list.append(bev)
             vox_list.append(vox)
+
+        if not with_prev:
+            n_prev = num_frames - (1 if cfg.stereo else 0) - 1
+            zeros_bev = jnp.zeros(
+                bev_list[0].shape[:-1] + (bev_list[0].shape[-1] * n_prev,),
+                bev_list[0].dtype)
+            zeros_vox = jnp.zeros(
+                vox_list[0].shape[:-1] + (vox_list[0].shape[-1] * n_prev,),
+                vox_list[0].dtype)
+            bev_list = [zeros_bev] + bev_list
+            vox_list = [zeros_vox] + vox_list
 
         # loop appended newest-history-first then key: [prev..., key] —
         # same channel order as the reference concat (DHD_model.py:517-518).

@@ -88,16 +88,23 @@ def create_train_state(model, cfg: ModelConfig, rng, batch,
     )
 
 
-def make_train_step(cfg: ModelConfig, donate: bool = True):
-    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+def make_train_step(cfg: ModelConfig, donate: bool = True,
+                    with_prev: bool = True):
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    ``with_prev=False`` builds the early-epoch variant of temporal models
+    (SequentialControlHook semantics); ignored for single-frame models.
+    """
     from dhd_tpu.train.ema import ema_update
+
+    extra = {} if not cfg.temporal else {"with_prev": with_prev}
 
     def train_step(state: TrainState, batch, rng):
         def loss_fn(params):
             out, mutated = state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch, train=True, mutable=["batch_stats"],
-                rngs={"dropout": rng})
+                rngs={"dropout": rng}, **extra)
             loss, metrics = total_loss(cfg, out, batch)
             return loss, (metrics, mutated["batch_stats"])
 

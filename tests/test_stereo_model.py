@@ -71,6 +71,20 @@ def test_no_grad_through_prev_frames():
     assert np.abs(g[:, 1:]).sum() == 0
 
 
+def test_with_prev_false_variant(stereo_setup):
+    """SequentialControlHook early-epoch mode: skip history, zero cost
+    volume + zero prev-BEV channels; output shape unchanged."""
+    cfg, model, batch, variables = stereo_setup
+    out = model.apply(variables, batch, train=False, with_prev=False)
+    assert out["occ_logits"].shape == (
+        1, cfg.vt.x.size, cfg.vt.y.size, cfg.head_Dz, cfg.num_classes)
+    assert np.isfinite(np.asarray(out["occ_logits"])).all()
+    # must differ from the with_prev=True output
+    out_full = model.apply(variables, batch, train=False, with_prev=True)
+    assert not np.allclose(np.asarray(out["occ_logits"]),
+                           np.asarray(out_full["occ_logits"]))
+
+
 def test_cost_volume_identity_transform():
     """With identity k2s and equal features the cost is 0 everywhere visible
     -> near-uniform distribution over visible depth bins."""
