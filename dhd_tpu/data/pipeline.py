@@ -282,17 +282,29 @@ class SamplePipeline:
                                      flip_dx, flip_dy))
 
         if self.is_train and sample.get("lidar_path"):
+            from dhd_tpu.native import project_cameras
             pts = load_lidar_points(self._resolve(sample["lidar_path"]))
-            d_maps, h_maps = [], []
+            lidar2ego = pose_to_mat(curr["lidar2ego_rotation"],
+                                    curr["lidar2ego_translation"])
+            lidarego2global = pose_to_mat(curr["ego2global_rotation"],
+                                          curr["ego2global_translation"])
+            l2img = np.zeros((n_cams, 4, 4), np.float32)
             for ci, cam in enumerate(CAM_NAMES[:n_cams]):
-                dm, hm = points_to_depth_height(
-                    pts, curr, cam, intr[0, ci],
-                    post_rots[0, ci], post_trans[0, ci], (h_in, w_in),
-                    (vt.depth.lower, vt.depth.upper))
-                d_maps.append(dm)
-                h_maps.append(hm)
-            batch["gt_depth"] = np.stack(d_maps)
-            batch["gt_height"] = np.stack(h_maps)
+                cam_info = curr["cams"][cam]
+                cam2camego = pose_to_mat(cam_info["sensor2ego_rotation"],
+                                         cam_info["sensor2ego_translation"])
+                camego2global = pose_to_mat(cam_info["ego2global_rotation"],
+                                            cam_info["ego2global_translation"])
+                lidar2cam = np.linalg.inv(camego2global @ cam2camego) @ \
+                    (lidarego2global @ lidar2ego)
+                cam2img = np.eye(4, dtype=np.float32)
+                cam2img[:3, :3] = intr[0, ci]
+                l2img[ci] = cam2img @ lidar2cam
+            d_maps, h_maps = project_cameras(
+                pts, l2img, lidar2ego, post_rots[0], post_trans[0],
+                (h_in, w_in), (vt.depth.lower, vt.depth.upper))
+            batch["gt_depth"] = d_maps
+            batch["gt_height"] = h_maps
         return batch
 
 

@@ -157,6 +157,40 @@ def mghs_pool(depth: jnp.ndarray, feat: jnp.ndarray, band_mask: jnp.ndarray,
     return bev[:, 0], vox
 
 
+def bev_pool(feats: jnp.ndarray, coords: jnp.ndarray, b: int, dz: int,
+             dy: int, dx: int, pool: str = "sum") -> jnp.ndarray:
+    """Legacy LSS-style bev_pool (v1) API parity.
+
+    The reference op (ops/bev_pool/bev_pool.py:6-126, bev_sum_pool_cuda.cu /
+    bev_max_pool_cuda.cu) takes already-multiplied point features and integer
+    voxel coords and sum- or max-pools per pillar.  Registered but unused by
+    the DHD model path; provided for completeness.
+
+    Args:
+      feats: (P, C) point features.
+      coords: (P, 4) int (x, y, z, batch) voxel coordinates; out-of-grid
+        points must be pre-filtered or carry coords outside [0, size).
+    Returns:
+      (B, C, Dz, Dy, Dx) pooled grid (reference output layout).
+    """
+    c = feats.shape[-1]
+    x, y, z, bi = (coords[:, 0], coords[:, 1], coords[:, 2], coords[:, 3])
+    valid = ((x >= 0) & (x < dx) & (y >= 0) & (y < dy)
+             & (z >= 0) & (z < dz) & (bi >= 0) & (bi < b))
+    num_seg = b * dz * dy * dx
+    seg = ((bi * dz + z) * dy + y) * dx + x
+    seg = jnp.where(valid, seg, num_seg)
+    if pool == "sum":
+        out = jax.ops.segment_sum(feats, seg, num_segments=num_seg + 1)
+    elif pool == "max":
+        out = jax.ops.segment_max(feats, seg, num_segments=num_seg + 1)
+        out = jnp.where(jnp.isneginf(out), 0.0, out)
+    else:
+        raise ValueError(pool)
+    out = out[:-1].reshape(b, dz, dy, dx, c)
+    return jnp.transpose(out, (0, 4, 1, 2, 3))
+
+
 def bev_pool_v2(depth: jnp.ndarray, feat: jnp.ndarray,
                 ranks_depth: jnp.ndarray, ranks_feat: jnp.ndarray,
                 ranks_bev: jnp.ndarray,
