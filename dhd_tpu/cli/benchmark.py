@@ -1,0 +1,137 @@
+"""Benchmark / analysis CLI (tools/analysis_tools/{benchmark,
+benchmark_view_transformer, get_flops}.py equivalents).
+
+All timings chain iterations (input perturbed by a scalar from the previous
+output) and end in a host read, so async device transports cannot fake them.
+
+  python -m dhd_tpu.cli.benchmark --preset dhd_s --what full --bf16
+  python -m dhd_tpu.cli.benchmark --preset dhd_s --what stages
+  python -m dhd_tpu.cli.benchmark --preset dhd_s --what flops
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+
+def chained_time(step, iters: int = 20):
+    """step: jitted fn(carry)->carry.  Returns seconds/iter."""
+    import jax.numpy as jnp
+    c = jnp.zeros((), jnp.float32)
+    c = step(c)
+    _ = float(c)                      # force compile + completion
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        c = step(c)
+    _ = float(c)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="dhd_s")
+    p.add_argument("--what", default="full",
+                   choices=["full", "stages", "flops"])
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--fp32", dest="bf16", action="store_false")
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args()
+
+    import os
+    import jax
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    import jax.numpy as jnp
+
+    from dhd_tpu.config import get_config
+    from dhd_tpu.data import synthetic_batch
+    from dhd_tpu.models import build_model
+
+    cfg = get_config(args.preset)
+    dt = jnp.bfloat16 if args.bf16 else jnp.float32
+    model = build_model(cfg, dtype=dt)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(cfg, args.batch_size,
+                                         with_gt=False).items()}
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), batch, train=False))()
+    _ = float(jnp.sum(jax.tree.leaves(variables)[0].astype(jnp.float32)))
+
+    def full_step_factory():
+        @jax.jit
+        def step(c):
+            b = dict(batch)
+            b["imgs"] = batch["imgs"] + c.astype(batch["imgs"].dtype)
+            out = model.apply(variables, b, train=False)["occ_logits"]
+            return jnp.tanh(jnp.mean(out)) * 1e-6
+        return step
+
+    if args.what == "flops":
+        fwd = jax.jit(lambda v, b: model.apply(v, b, train=False)
+                      ["occ_logits"])
+        compiled = fwd.lower(variables, batch).compile()
+        ca = compiled.cost_analysis()
+        print(f"forward flops: {ca.get('flops', float('nan')) / 1e9:.1f} G")
+        print(f"bytes accessed: "
+              f"{ca.get('bytes accessed', float('nan')) / 1e9:.2f} GB")
+        n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+        print(f"params: {n_params / 1e6:.1f} M")
+        return
+
+    if args.what == "full":
+        dt_s = chained_time(full_step_factory(), args.iters)
+        fps = args.batch_size / dt_s
+        print(f"{args.preset} end-to-end: {dt_s * 1e3:.2f} ms/iter "
+              f"= {fps:.1f} samples/s")
+        return
+
+    # stages: time the full model and the model minus the view transform by
+    # swapping submodule outputs is intrusive; instead time standalone
+    # submodule applications with representative shapes.
+    from dhd_tpu.models.dhd import BEVEncoder, ImageEncoder, MGHSTransform
+    from dhd_tpu.nn import UNet
+
+    b = args.batch_size
+    n = cfg.num_cams
+    h, w = cfg.vt.input_size
+    fh, fw = cfg.vt.feat_size
+
+    def time_mod(name, mod, x, apply=None):
+        v = jax.jit(lambda: mod.init(jax.random.PRNGKey(0), *x))()
+        _ = float(jnp.sum(jax.tree.leaves(v)[0].astype(jnp.float32)))
+        ap = apply or (lambda v, *x: mod.apply(v, *x))
+
+        @jax.jit
+        def step(c):
+            xs = (x[0] + c.astype(x[0].dtype),) + tuple(x[1:])
+            out = ap(v, *xs)
+            leaf = jax.tree.leaves(out)[0]
+            return jnp.tanh(jnp.mean(leaf.astype(jnp.float32))) * 1e-6
+        print(f"{name}: {chained_time(step, args.iters) * 1e3:.2f} ms",
+              flush=True)
+
+    time_mod("img_encoder", ImageEncoder(cfg, dtype=dt),
+             (jnp.ones((b * n, h, w, 3), dt),),
+             apply=lambda v, x: ImageEncoder(cfg, dtype=dt).apply(v, x)[0])
+    geom = {k: batch[k] for k in ("sensor2keyego", "intrins", "post_rots",
+                                  "post_trans", "bda")}
+    vtm = MGHSTransform(cfg, dtype=dt)
+    feat = jnp.ones((b, n, fh, fw, cfg.vt.in_channels), dt) * 0.01
+    time_mod("view_transform", vtm, (feat, geom),
+             apply=lambda v, f, g: vtm.apply(v, f, g)["vox"])
+    dy, dx = cfg.vt.y.size, cfg.vt.x.size
+    time_mod("bev_encoder", BEVEncoder(cfg, dtype=dt),
+             (jnp.ones((b, dy, dx, cfg.vt.out_channels), dt) * 0.01,))
+    s1, s2, s3 = cfg.vt.slab_sizes
+    for i, slab in enumerate((s1, s2, s3)):
+        cin = slab * cfg.vt.out_channels
+        time_mod(f"voxel_encoder{i} (unet {cin}->"
+                 f"{cfg.voxel_encoder_out[i]})",
+                 UNet(n_classes=cfg.voxel_encoder_out[i], dtype=dt),
+                 (jnp.ones((b, dy, dx, cin), dt) * 0.01,))
+
+
+if __name__ == "__main__":
+    main()
