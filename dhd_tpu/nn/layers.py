@@ -10,6 +10,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -188,33 +189,33 @@ class ASPP(nn.Module):
         return y
 
 
+def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) align-corners bilinear interpolation matrix."""
+    m = np.zeros((n_out, n_in), np.float32)
+    if n_in == 1:
+        m[:, 0] = 1.0
+        return m
+    pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    i0 = np.clip(np.floor(pos).astype(int), 0, n_in - 2)
+    frac = pos - i0
+    m[np.arange(n_out), i0] = 1.0 - frac
+    m[np.arange(n_out), i0 + 1] = frac
+    return m
+
+
 def upsample_bilinear_align(x: jnp.ndarray, scale: int) -> jnp.ndarray:
     """Bilinear x``scale`` upsample with torch align_corners=True semantics.
 
-    jax.image.resize uses half-pixel centers, so we build the align-corners
-    sampling explicitly: out pixel i samples input at i*(in-1)/(out-1).
-    x: (B, H, W, C).
+    Implemented as two small constant interpolation matmuls (MXU-friendly
+    and fusion-friendly) instead of gathers; out pixel i samples input at
+    i*(in-1)/(out-1).  x: (B, H, W, C).
     """
     b, h, w, c = x.shape
-    oh, ow = h * scale, w * scale
-
-    def axis_weights(n_in, n_out):
-        if n_in == 1:
-            idx0 = jnp.zeros((n_out,), jnp.int32)
-            return idx0, idx0, jnp.zeros((n_out,), x.dtype)
-        pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / (n_out - 1)
-        i0 = jnp.floor(pos).astype(jnp.int32)
-        i0 = jnp.clip(i0, 0, n_in - 2)
-        frac = (pos - i0).astype(x.dtype)
-        return i0, i0 + 1, frac
-
-    y0, y1, fy = axis_weights(h, oh)
-    x0, x1, fx = axis_weights(w, ow)
-    top = x[:, y0][:, :, x0] * (1 - fx)[None, None, :, None] \
-        + x[:, y0][:, :, x1] * fx[None, None, :, None]
-    bot = x[:, y1][:, :, x0] * (1 - fx)[None, None, :, None] \
-        + x[:, y1][:, :, x1] * fx[None, None, :, None]
-    return top * (1 - fy)[None, :, None, None] + bot * fy[None, :, None, None]
+    wy = jnp.asarray(_interp_matrix(h, h * scale), x.dtype)
+    wx = jnp.asarray(_interp_matrix(w, w * scale), x.dtype)
+    hp = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("oh,bhwc->bowc", wy, x, precision=hp)
+    return jnp.einsum("pw,bowc->bopc", wx, x, precision=hp)
 
 
 def max_pool2(x: jnp.ndarray) -> jnp.ndarray:
