@@ -35,6 +35,9 @@ def parse_args():
     p.add_argument("--ckpt-interval", type=int, default=1,
                    help="epochs between checkpoints")
     p.add_argument("--resume-from", default=None)
+    p.add_argument("--auto-resume", action="store_true",
+                   help="resume from the newest epoch_* checkpoint in "
+                        "--work-dir if one exists (preemption recovery)")
     p.add_argument("--temporal-start-epoch", type=int, default=None,
                    help="train without history frames until this epoch "
                         "(SequentialControlHook); default: always use them "
@@ -110,9 +113,26 @@ def main():
                                   batch_stats=variables["batch_stats"])
         else:
             state = load_checkpoint(args.load_from, state)
-    if args.resume_from:
+    start_epoch = 0
+    resume_path = args.resume_from
+    if args.auto_resume and not resume_path and args.work_dir and \
+            os.path.isdir(args.work_dir):
+        cands = sorted(
+            (d for d in os.listdir(args.work_dir)
+             if d.startswith("epoch_") and d[6:].isdigit()),
+            key=lambda d: int(d[6:]))
+        if cands:
+            resume_path = os.path.join(args.work_dir, cands[-1])
+            start_epoch = int(cands[-1][6:])
+            print(f"auto-resuming from {resume_path}", flush=True)
+    if resume_path:
         from dhd_tpu.io import load_checkpoint
-        state = load_checkpoint(args.resume_from, state)
+        state = load_checkpoint(resume_path, state)
+
+    log_file = None
+    if args.work_dir:
+        os.makedirs(args.work_dir, exist_ok=True)
+        log_file = open(os.path.join(args.work_dir, "metrics.jsonl"), "a")
 
     with jax.set_mesh(mesh):
         state = replicate(state, mesh)
@@ -122,7 +142,7 @@ def main():
         rng = jax.random.PRNGKey(args.seed + 1)
         step = int(state.step)
         t0 = time.perf_counter()
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             use_prev = (args.temporal_start_epoch is None
                         or epoch > args.temporal_start_epoch)
             train_step = steps[use_prev if False in steps else True]
@@ -139,6 +159,10 @@ def main():
                           f"({dt / max(step, 1):.2f}s/it) "
                           + " ".join(f"{k}={v:.4f}" for k, v in
                                      sorted(m.items())), flush=True)
+                    if log_file is not None:
+                        log_file.write(json.dumps(
+                            {"epoch": epoch, "step": step, **m}) + "\n")
+                        log_file.flush()
                 if args.steps and step >= args.steps:
                     break
             if args.work_dir and (epoch + 1) % args.ckpt_interval == 0:
