@@ -105,11 +105,23 @@ class DHDStereoNet(nn.Module):
 
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False,
-                 with_prev: bool = True) -> Dict[str, jnp.ndarray]:
+                 with_prev: bool = True,
+                 cache: Optional[Dict[str, jnp.ndarray]] = None):
         """``with_prev=False`` reproduces the SequentialControlHook's early
         epochs (core/hook/sequentialcontrol.py + bevstereo4d.py:247-262):
         history frames are skipped, the key frame sees a zero cost volume,
-        and the prev-BEV channels are zero-filled."""
+        and the prev-BEV channels are zero-filled.
+
+        ``cache`` switches to *streaming* inference (the TPU-native
+        extract_img_feat_sequential + 'accelerate' serving mode,
+        bevstereo4d.py:104-153): ``batch`` holds only the current frame
+        (imgs (B, N, H, W, 3), sensor2ego/ego2global (B, N, 4, 4)) and the
+        previous frame's stereo features + BEV/voxel grids come from the
+        cache; returns (outputs, new_cache).  Pass ``cache={}`` for the
+        first frame of a stream.
+        """
+        if cache is not None:
+            return self._streaming(batch, cache, train)
         cfg = self.cfg
         vt = cfg.vt
         num_frames = cfg.num_frames                   # key + adj + extra ref
@@ -234,9 +246,20 @@ class DHDStereoNet(nn.Module):
         bev_cat = jnp.concatenate(bev_list, axis=-1)       # (B, Dy, Dx, F'*C)
         vox_cat = jnp.concatenate(vox_list, axis=-1)       # (B, Dz, Dy, Dx, F'*C)
 
+        occ = self._fuse_and_predict(bev_cat, vox_cat, train)
+        return {
+            "occ_logits": occ,
+            "depth": depth_key,
+            "height": height_key,
+        }
+
+    def _fuse_and_predict(self, bev_cat, vox_cat, train):
+        """BEV encoder || slab UNets -> SFA -> occupancy head (shared by the
+        batch and streaming paths; must run inside the compact scope)."""
+        cfg = self.cfg
+        vt = cfg.vt
         x_2d = BEVEncoder(cfg, dtype=self.dtype, name="bev_encoder")(
             bev_cat, train)
-
         s1, s2, _ = vt.slab_sizes
         slabs = [vox_cat[:, :s1], vox_cat[:, s1:s1 + s2],
                  vox_cat[:, s1 + s2:]]
@@ -246,15 +269,117 @@ class DHDStereoNet(nn.Module):
                      name=f"voxel_encoder{i}")(collapse_z(slab), train)
             outs3d.append(y)
         x_3d = jnp.concatenate(outs3d, axis=-1)
-
         fused = SFA(out_channels=cfg.sfa_out_channels, dtype=self.dtype,
                     name="sfa")(jnp.concatenate([x_2d, x_3d], axis=-1), train)
         occ = OccHead(out_dim=cfg.head_out_dim, Dz=cfg.head_Dz,
                       num_classes=cfg.num_classes,
                       use_predicter=cfg.use_predicter,
                       dtype=self.dtype, name="occ_head")(fused, train)
-        return {
-            "occ_logits": occ.astype(jnp.float32),
-            "depth": depth_key,
-            "height": height_key,
+        return occ.astype(jnp.float32)
+
+    def _streaming(self, batch, cache, train):
+        """One streaming step: current frame only + cached previous state.
+
+        cache keys (all optional on the first step):
+          stereo_feat: (B*N, Hs, Ws, Cs) previous stereo features
+          bev: (B, Dy, Dx, C); vox: (B, Dz, Dy, Dx, C) previous grids,
+            pooled in the *previous* frame's ego coordinates
+          cam2global: (B, N, 4, 4) previous frame camera->global
+        """
+        hp = jax.lax.Precision.HIGHEST
+        cfg = self.cfg
+        vt = cfg.vt
+        dz = vt.z_fine.size
+        b, n = batch["imgs"].shape[:2]
+        h_in, w_in = batch["imgs"].shape[2:4]
+        bda = batch["bda"]
+
+        img_encoder = ImageEncoder(cfg, dtype=self.dtype, name="img_encoder")
+        vt_mod = MGHSTransform(cfg, dtype=self.dtype, name="vt")
+        pre2d = CustomResNet(num_channels=(vt.out_channels,),
+                             num_layer=(1,), stride=(1,), dtype=self.dtype,
+                             name="pre_process") if cfg.pre_process else None
+        pre3d = CustomResNet(num_channels=(vt.out_channels * dz,),
+                             num_layer=(1,), stride=(1,), dtype=self.dtype,
+                             name="pre_process_3d") if cfg.pre_process else None
+
+        s2e = batch["sensor2ego"].astype(jnp.float64)
+        e2g = batch["ego2global"].astype(jnp.float64)
+        g2k = jnp.linalg.inv(e2g[:, :1])
+        s2k = jnp.einsum("bnij,bnjk,bnkl->bnil",
+                         jnp.broadcast_to(g2k, e2g.shape), e2g, s2e,
+                         precision=hp).astype(jnp.float32)
+        cam2global = jnp.einsum("bnij,bnjk->bnik", e2g, s2e,
+                                precision=hp)
+
+        imgs_flat = batch["imgs"].astype(self.dtype).reshape(
+            b * n, h_in, w_in, 3)
+        x, sfeat = img_encoder(imgs_flat, train, stereo=cfg.stereo)
+        fh, fw = x.shape[1:3]
+        x = x.reshape(b, n, fh, fw, x.shape[-1])
+
+        cost_volume = None
+        if cfg.stereo:
+            hs, ws = sfeat.shape[1:3]
+            cs = sfeat.shape[-1]
+            prev_sf = cache.get("stereo_feat")
+            if prev_sf is None:
+                cost_volume = jnp.zeros((b * n, hs, ws, vt.D), self.dtype)
+            else:
+                k2s = jnp.einsum(
+                    "bnij,bnjk->bnik",
+                    jnp.linalg.inv(cache["cam2global"].astype(jnp.float64)),
+                    cam2global, precision=hp).astype(jnp.float32)
+                cv_frustum = create_frustum(vt.depth, vt.input_size,
+                                            downsample=4, sid=vt.sid)
+                cv = stereo_cost_volume(
+                    prev_sf.reshape(b, n, hs, ws, cs),
+                    sfeat.reshape(b, n, hs, ws, cs),
+                    cv_frustum, k2s, batch["intrins"],
+                    batch["post_rots"], batch["post_trans"],
+                    bias=cfg.depthnet_cfg.bias)
+                cost_volume = jnp.transpose(
+                    cv.reshape(b * n, vt.D, hs, ws), (0, 2, 3, 1)
+                ).astype(self.dtype)
+
+        geom = {
+            "sensor2keyego": s2k,
+            "intrins": batch["intrins"],
+            "post_rots": batch["post_rots"],
+            "post_trans": batch["post_trans"],
+            "bda": bda,
         }
+        out = vt_mod(x, geom, train, cost_volume=cost_volume)
+        bev, vox = out["bev"], out["vox"]
+        if cfg.pre_process:
+            bev = pre2d(bev, train)[0]
+            vox = uncollapse_z(pre3d(collapse_z(vox), train)[0], dz)
+
+        prev_bev = cache.get("bev")
+        if prev_bev is None:
+            prev_bev = jnp.zeros_like(bev)
+            prev_vox = jnp.zeros_like(vox)
+        else:
+            # warp the cached grids from the previous ego frame into the
+            # current one (shift_feature, bevdet4d.py:118-134)
+            prev_s2k_front = jnp.einsum(
+                "bij,bjk->bik", g2k[:, 0].astype(jnp.float64),
+                cache["cam2global"][:, 0].astype(jnp.float64),
+                precision=hp).astype(jnp.float32)
+            grid = shift_grid(vt.y.size, vt.x.size, s2k[:, 0],
+                              prev_s2k_front, bda, vt.x, vt.y)
+            prev_bev = grid_sample_2d(cache["bev"], grid)
+            prev_vox = uncollapse_z(
+                grid_sample_2d(collapse_z(cache["vox"]), grid), dz)
+
+        bev_cat = jnp.concatenate([prev_bev, bev], axis=-1)
+        vox_cat = jnp.concatenate([prev_vox, vox], axis=-1)
+        occ = self._fuse_and_predict(bev_cat, vox_cat, train)
+        new_cache = {
+            "stereo_feat": sfeat,
+            "bev": bev,
+            "vox": vox,
+            "cam2global": cam2global.astype(jnp.float32),
+        }
+        return ({"occ_logits": occ, "depth": out["depth"],
+                 "height": out["height"]}, new_cache)

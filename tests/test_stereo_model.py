@@ -85,6 +85,34 @@ def test_with_prev_false_variant(stereo_setup):
                            np.asarray(out_full["occ_logits"]))
 
 
+def test_streaming_inference(stereo_setup):
+    """Streaming mode: single-frame inputs + cached prev state."""
+    cfg, model, batch, variables = stereo_setup
+    # single-frame stream batch from the temporal batch's key frame
+    sbatch = {
+        "imgs": batch["imgs"][:, 0],
+        "sensor2ego": batch["sensor2ego"][:, 0],
+        "ego2global": batch["ego2global"][:, 0],
+        "intrins": batch["intrins"][:, 0],
+        "post_rots": batch["post_rots"][:, 0],
+        "post_trans": batch["post_trans"][:, 0],
+        "bda": batch["bda"],
+    }
+    out1, cache = model.apply(variables, sbatch, train=False, cache={})
+    assert out1["occ_logits"].shape == (
+        1, cfg.vt.x.size, cfg.vt.y.size, cfg.head_Dz, cfg.num_classes)
+    assert set(cache) == {"stereo_feat", "bev", "vox", "cam2global"}
+    # second step consumes the cache (ego moved forward a bit)
+    sbatch2 = dict(sbatch)
+    e2g = np.asarray(sbatch["ego2global"]).copy()
+    e2g[..., 0, 3] += 0.5
+    sbatch2["ego2global"] = jnp.asarray(e2g)
+    out2, cache2 = model.apply(variables, sbatch2, train=False, cache=cache)
+    assert np.isfinite(np.asarray(out2["occ_logits"])).all()
+    assert not np.allclose(np.asarray(out1["occ_logits"]),
+                           np.asarray(out2["occ_logits"]))
+
+
 def test_cost_volume_identity_transform():
     """With identity k2s and equal features the cost is 0 everywhere visible
     -> near-uniform distribution over visible depth bins."""
