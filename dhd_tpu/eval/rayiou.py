@@ -130,6 +130,36 @@ def ray_march(occ: jnp.ndarray, origin: jnp.ndarray, endpts: jnp.ndarray,
     return dist, coord
 
 
+def init_voxelize(points: jnp.ndarray, tindex: jnp.ndarray,
+                  grid_shape: Tuple[int, int, int, int, int]) -> jnp.ndarray:
+    """dvr.init parity (dvr.cu:19-66): mark each ray endpoint's voxel
+    occupied.
+
+    points: (N, M, 3) endpoint coords in voxel units (x, y, z);
+    tindex: (N, M) time index (< 0 = padded); grid_shape (N, T, Z, Y, X).
+    Returns float32 occupancy grid.
+    """
+    n, t, vz, vy, vx = grid_shape
+    occ = jnp.zeros(grid_shape, jnp.float32)
+    ts = jnp.clip(tindex.astype(jnp.int32), 0, t - 1)
+    if t == 1:
+        ts = jnp.zeros_like(ts)
+    v = points.astype(jnp.int32)
+    valid = ((tindex >= 0)
+             & (v[..., 0] >= 0) & (v[..., 0] < vx)
+             & (v[..., 1] >= 0) & (v[..., 1] < vy)
+             & (v[..., 2] >= 0) & (v[..., 2] < vz))
+    bidx = jnp.broadcast_to(
+        jnp.arange(n)[:, None], tindex.shape).astype(jnp.int32)
+    flat = (((bidx * t + ts) * vz + jnp.clip(v[..., 2], 0, vz - 1)) * vy
+            + jnp.clip(v[..., 1], 0, vy - 1)) * vx \
+        + jnp.clip(v[..., 0], 0, vx - 1)
+    occ = occ.reshape(-1).at[
+        jnp.where(valid, flat, 0).reshape(-1)].max(
+        valid.reshape(-1).astype(jnp.float32))
+    return occ.reshape(grid_shape)
+
+
 def process_one_sample(sem: np.ndarray, lidar_rays: np.ndarray,
                        origins: np.ndarray) -> np.ndarray:
     """-> (T*M, 2) of [semantic label at hit voxel, hit distance in meters]

@@ -98,6 +98,16 @@ def test_rayiou_wrong_prediction_lower():
     assert res["RayIoU"] < 0.1
 
 
+def test_init_voxelize():
+    from dhd_tpu.eval.rayiou import init_voxelize
+    points = jnp.asarray([[[1.5, 2.5, 0.5], [100.0, 0.0, 0.0],
+                           [3.0, 3.0, 1.0]]])
+    tindex = jnp.asarray([[0.0, 0.0, -1.0]])     # last is padded
+    occ = np.asarray(init_voxelize(points, tindex, (1, 1, 2, 4, 4)))
+    assert occ[0, 0, 0, 2, 1] == 1.0             # (z=0, y=2, x=1)
+    assert occ.sum() == 1.0                      # oob + padded dropped
+
+
 def test_scene_origins():
     infos = []
     for i in range(12):
