@@ -83,21 +83,20 @@ def main():
                                       seed=args.seed + i)
         steps_per_epoch = n_samples // batch_size
     else:
+        from dhd_tpu.data.loader import PrefetchLoader
         from dhd_tpu.data.nuscenes import NuScenesOccDataset
-        from dhd_tpu.data.pipeline import SamplePipeline, collate
+        from dhd_tpu.data.pipeline import SamplePipeline
         ds = NuScenesOccDataset(args.ann_file, args.data_root,
                                 num_adj_frames=cfg.num_adj_frames,
                                 stereo=cfg.stereo)
         pipe = SamplePipeline(cfg, is_train=True, data_root=args.data_root,
                               seed=args.seed)
-        order_rng = np.random.default_rng(args.seed)
-        steps_per_epoch = len(ds) // batch_size
+        loader = PrefetchLoader(ds, pipe, batch_size, shuffle=True,
+                                num_workers=8, prefetch=3, seed=args.seed)
+        steps_per_epoch = len(loader)
 
         def epoch_batches():
-            order = order_rng.permutation(len(ds))
-            for i in range(steps_per_epoch):
-                idxs = order[i * batch_size:(i + 1) * batch_size]
-                yield collate([pipe(ds.get_sample(int(j))) for j in idxs])
+            yield from loader
 
     tx = make_optimizer(cfg.optim, steps_per_epoch=steps_per_epoch)
     init_batch = {k: jnp.asarray(v) for k, v in next(epoch_batches()).items()}
