@@ -176,6 +176,9 @@ class ModelConfig:
     optim: OptimConfig = OptimConfig()
     num_cams: int = 6
     align_after_view_transformation: bool = False
+    # rematerialize backbone blocks in backward (reference with_cp=True,
+    # DHD-S.py:52)
+    backbone_remat: bool = True
 
     @property
     def num_frames(self) -> int:

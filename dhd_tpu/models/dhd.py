@@ -73,6 +73,7 @@ class ImageEncoder(nn.Module):
         cfg = self.cfg
         if cfg.backbone == "resnet50":
             feats = ResNet50(out_indices=cfg.backbone_out_indices,
+                             remat=cfg.backbone_remat,
                              dtype=self.dtype, name="backbone")(
                 imgs, train, stage0_only=stage0_only)
         elif cfg.backbone == "tiny_cnn":

@@ -26,13 +26,20 @@ class ResNet50(nn.Module):
     """
     out_indices: Tuple[int, ...] = (2, 3)
     layers: Tuple[int, ...] = (3, 4, 6, 3)
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, stage0_only: bool = False):
         """``stage0_only`` runs stem + layer1 only and returns that feature —
         the stereo extra-ref-frame path (bevstereo4d.py:20-40).  Parameters
-        are shared with the full path by name."""
+        are shared with the full path by name.
+
+        ``remat`` rematerializes each bottleneck in the backward pass — the
+        torch.utils.checkpoint `with_cp=True` of the reference backbone
+        config (DHD-S.py:52)."""
+        block_cls = (nn.remat(Bottleneck, static_argnums=(2,))
+                     if self.remat else Bottleneck)
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     dtype=self.dtype, name="stem_conv")(x)
         x = BatchNorm(dtype=self.dtype, name="stem_bn")(x, train)
@@ -46,7 +53,7 @@ class ResNet50(nn.Module):
         for stage, n_blocks in enumerate(self.layers):
             stride = 1 if stage == 0 else 2
             for blk in range(n_blocks):
-                x = Bottleneck(
+                x = block_cls(
                     planes=planes,
                     stride=stride if blk == 0 else 1,
                     downsample=(blk == 0),
