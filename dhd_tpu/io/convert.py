@@ -31,6 +31,8 @@ CONVT = "convT"
 DENSE = "dense"
 CONV1x1_DENSE = "conv1x1_dense"
 BN = "bn"
+LN = "ln"           # LayerNorm: weight->scale, bias->bias (no stats)
+TABLE = "table"     # bare parameter copied verbatim (rel-pos bias table)
 DCN = "dcn"
 RAW = "raw"
 
@@ -249,11 +251,48 @@ def _occ_head(tp: str, fp: Tuple[str, ...], use_predicter: bool
     return rules
 
 
+def _swin(tp: str, fp: Tuple[str, ...],
+          depths=(2, 2, 18, 2), out_indices=(2, 3)) -> List[Rule]:
+    """Swin-B (models/backbones/swin.py:680-976; mmcv naming:
+    stages.i.blocks.j.{norm1,attn.w_msa.*,norm2,ffn.layers.{0.0,1}},
+    stages.i.downsample.{norm,reduction}, norm{i} out heads)."""
+    rules = [
+        (f"{tp}.patch_embed.projection", fp + ("patch_embed",), CONV),
+        (f"{tp}.patch_embed.norm", fp + ("patch_norm",), LN),
+    ]
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            bp = f"{tp}.stages.{i}.blocks.{j}"
+            fbp = fp + (f"stage{i}_block{j}",)
+            rules += [
+                (f"{bp}.norm1", fbp + ("norm1",), LN),
+                (f"{bp}.attn.w_msa.relative_position_bias_table",
+                 fbp + ("attn", "relative_position_bias_table"), TABLE),
+                (f"{bp}.attn.w_msa.qkv", fbp + ("attn", "qkv"), DENSE),
+                (f"{bp}.attn.w_msa.proj", fbp + ("attn", "proj"), DENSE),
+                (f"{bp}.norm2", fbp + ("norm2",), LN),
+                (f"{bp}.ffn.layers.0.0", fbp + ("fc1",), DENSE),
+                (f"{bp}.ffn.layers.1", fbp + ("fc2",), DENSE),
+            ]
+        if i < len(depths) - 1:
+            rules += [
+                (f"{tp}.stages.{i}.downsample.norm",
+                 fp + (f"downsample{i}", "norm"), LN),
+                (f"{tp}.stages.{i}.downsample.reduction",
+                 fp + (f"downsample{i}", "reduction"), DENSE),
+            ]
+        if i in out_indices:
+            rules.append((f"{tp}.norm{i}", fp + (f"norm{i}",), LN))
+    return rules
+
+
 def build_rules(cfg: ModelConfig) -> List[Rule]:
     """Full rule table for a model preset."""
     rules: List[Rule] = []
     if cfg.backbone == "resnet50":
         rules += _resnet50("img_backbone", ("img_encoder", "backbone"))
+    elif cfg.backbone == "swin_base":
+        rules += _swin("img_backbone", ("img_encoder", "backbone"))
     if cfg.img_neck == "custom_fpn":
         rules += _custom_fpn("img_neck", ("img_encoder", "neck"),
                              len(cfg.img_neck_in_channels))
@@ -332,6 +371,18 @@ def torch_to_params(state_dict: Dict[str, np.ndarray], cfg: ModelConfig
             _set(params, fp, "bias", take(f"{tp}.bias"))
             _set(stats, fp, "mean", take(f"{tp}.running_mean"))
             _set(stats, fp, "var", take(f"{tp}.running_var"))
+        elif kind == LN:
+            if f"{tp}.weight" not in sd:
+                continue
+            _set(params, fp, "scale", take(f"{tp}.weight"))
+            _set(params, fp, "bias", take(f"{tp}.bias"))
+        elif kind == TABLE:
+            if tp not in sd:
+                continue
+            node = params
+            for p in fp[:-1]:
+                node = node.setdefault(p, {})
+            node[fp[-1]] = take(tp)
         elif kind == CONV:
             if f"{tp}.weight" not in sd:
                 continue
@@ -420,6 +471,21 @@ def params_to_torch(variables: Dict[str, Any], cfg: ModelConfig
             sd[f"{tp}.bias"] = np.asarray(_get(params, fp, "bias"))
             sd[f"{tp}.running_mean"] = np.asarray(_get(stats, fp, "mean"))
             sd[f"{tp}.running_var"] = np.asarray(_get(stats, fp, "var"))
+            continue
+        if kind == LN:
+            if not has(params, fp):
+                continue
+            sd[f"{tp}.weight"] = np.asarray(_get(params, fp, "scale"))
+            sd[f"{tp}.bias"] = np.asarray(_get(params, fp, "bias"))
+            continue
+        if kind == TABLE:
+            if not has(params, fp[:-1]) :
+                continue
+            node = params
+            for p in fp[:-1]:
+                node = node[p]
+            if fp[-1] in node:
+                sd[tp] = np.asarray(node[fp[-1]])
             continue
         if not has(params, fp):
             continue

@@ -50,6 +50,51 @@ def test_roundtrip_exact(preset):
         np.testing.assert_array_equal(conv_s[k], orig_s[k], err_msg=str(k))
 
 
+@pytest.mark.parametrize("preset", ["dhd_m", "dhd_l"])
+def test_roundtrip_structural_temporal(preset):
+    """Structure-complete round trip for the temporal presets, using
+    eval_shape (full init of Swin-B @512x1408 is too slow for CI)."""
+    cfg = get_config(preset)
+    model = build_model(cfg)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(cfg, batch_size=1,
+                                         with_gt=False).items()}
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), batch, train=False))
+    rng = np.random.default_rng(0)
+    variables = jax.tree.map(
+        lambda s: rng.normal(0, 1, s.shape).astype(np.float32), shapes)
+    sd = params_to_torch(variables, cfg)
+    back = torch_to_params(sd, cfg)
+    assert "_unmapped" not in back, back.get("_unmapped")[:10]
+    orig = _flat(variables["params"])
+    conv = _flat(back["params"])
+    missing = set(orig) - set(conv)
+    assert not missing, sorted(missing)[:10]
+    for k in orig:
+        np.testing.assert_array_equal(conv[k], orig[k], err_msg=str(k))
+    # spot-check stereo/temporal-specific reference key names
+    for key in [
+        "img_view_transformer.depth_net.context_conv.weight",
+        "img_view_transformer.depth_net.cost_volumn_net.0.weight",
+        "img_view_transformer.depth_net.depth_conv.0.downsample.weight",
+        "pre_process_net.layers.0.0.conv1.weight",
+        "pre_process_net_3d.layers.0.0.downsample.weight",
+    ]:
+        assert key in sd, key
+    if preset == "dhd_l":
+        for key in [
+            "img_backbone.patch_embed.projection.weight",
+            "img_backbone.stages.0.blocks.1.attn.w_msa.qkv.weight",
+            "img_backbone.stages.2.blocks.17.ffn.layers.1.bias",
+            "img_backbone.stages.0.downsample.reduction.weight",
+            "img_backbone.norm3.weight",
+            ("img_backbone.stages.1.blocks.0.attn.w_msa."
+             "relative_position_bias_table"),
+        ]:
+            assert key in sd, key
+
+
 def test_torch_keys_match_reference_naming():
     cfg = get_config("dhd_s")
     model = build_model(cfg)
