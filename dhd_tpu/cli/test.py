@@ -22,6 +22,10 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--no-aavt", action="store_true",
+                   help="do NOT align after view transformation for "
+                        "temporal models (tools/test.py:235-237 forces "
+                        "alignment at eval by default)")
     return p.parse_args()
 
 
@@ -40,6 +44,9 @@ def main():
     from dhd_tpu.models import build_model
 
     cfg = get_config(args.preset)
+    if cfg.temporal and not args.no_aavt:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, align_after_view_transformation=True)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = build_model(cfg, dtype=dtype)
 

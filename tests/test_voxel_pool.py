@@ -139,6 +139,32 @@ def test_out_of_grid_points_dropped():
     assert float(jnp.abs(vox).sum()) == 0.0
 
 
+def test_pool_deterministic_and_permutation_invariant():
+    """segment_sum is deterministic (unlike atomic CUDA scatter-add) and
+    permutation-invariant up to fp accumulation order (SURVEY §5 race
+    notes)."""
+    vt = _tiny_vt()
+    depth, feat, coords, band_mask = _random_inputs(vt, seed=7)
+    idx = compute_pool_indices(jnp.asarray(coords), vt)
+    f = jax.jit(lambda d, x, m: mghs_pool(d, x, m, idx, vt))
+    out1 = f(jnp.asarray(depth), jnp.asarray(feat), jnp.asarray(band_mask))
+    out2 = f(jnp.asarray(depth), jnp.asarray(feat), jnp.asarray(band_mask))
+    # bitwise deterministic across runs
+    np.testing.assert_array_equal(np.asarray(out1[0]), np.asarray(out2[0]))
+    np.testing.assert_array_equal(np.asarray(out1[1]), np.asarray(out2[1]))
+
+    # permute the cameras (a relabeling of points): results match closely
+    perm = np.asarray([1, 0])
+    idx_p = compute_pool_indices(jnp.asarray(coords[:, perm]), vt)
+    bev_p, vox_p = mghs_pool(jnp.asarray(depth[:, perm]),
+                             jnp.asarray(feat[:, perm]),
+                             jnp.asarray(band_mask[:, perm]), idx_p, vt)
+    np.testing.assert_allclose(np.asarray(bev_p), np.asarray(out1[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(vox_p), np.asarray(out1[1]),
+                               atol=1e-4)
+
+
 def test_truncation_boundary_semantics():
     """Points in (lower - interval, lower) truncate to index 0 and are kept,
     replicating torch .long() semantics (lss_heightmap.py:331-348)."""
