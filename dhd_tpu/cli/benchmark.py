@@ -31,7 +31,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="dhd_s")
     p.add_argument("--what", default="full",
-                   choices=["full", "stages", "flops"])
+                   choices=["full", "stages", "flops", "train"])
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--fp32", dest="bf16", action="store_false")
@@ -85,6 +85,28 @@ def main():
         fps = args.batch_size / dt_s
         print(f"{args.preset} end-to-end: {dt_s * 1e3:.2f} ms/iter "
               f"= {fps:.1f} samples/s")
+        return
+
+    if args.what == "train":
+        from dhd_tpu.train import (
+            create_train_state, make_optimizer, make_train_step)
+        tbatch = {k: jnp.asarray(v)
+                  for k, v in synthetic_batch(cfg, args.batch_size,
+                                              with_gt=True).items()}
+        tx = make_optimizer(cfg.optim, steps_per_epoch=1000)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                   tbatch, tx)
+        step_fn = make_train_step(cfg, donate=False)
+        rng = jax.random.PRNGKey(1)
+        state, m = step_fn(state, tbatch, rng)
+        _ = float(m["loss_total"])                 # force compile + run
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            state, m = step_fn(state, tbatch, jax.random.fold_in(rng, i))
+        _ = float(m["loss_total"])                 # chained via state
+        dt_s = (time.perf_counter() - t0) / args.iters
+        print(f"{args.preset} train step: {dt_s * 1e3:.2f} ms/iter = "
+              f"{args.batch_size / dt_s:.2f} samples/s")
         return
 
     # stages: time the full model and the model minus the view transform by

@@ -72,7 +72,14 @@ def main():
     per_gpu = {"dhd_s": 4, "dhd_m": 3, "dhd_l": 2}.get(cfg.name, 1)
     batch_size = args.batch_size or per_gpu * n_dev
     epochs = args.epochs or cfg.optim.max_epochs
-    mesh = make_mesh()
+    # the batch axis must divide the mesh: use the largest divisor
+    mesh_devices = n_dev
+    while batch_size % mesh_devices:
+        mesh_devices -= 1
+    if mesh_devices != n_dev:
+        print(f"batch {batch_size} not divisible by {n_dev} devices; "
+              f"using a {mesh_devices}-device mesh", flush=True)
+    mesh = make_mesh(mesh_devices)
 
     if args.synthetic or args.ann_file is None:
         n_samples = batch_size * 4

@@ -1,0 +1,36 @@
+"""End-to-end CLI integration over the on-disk nuScenes fixture."""
+import subprocess
+import sys
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_data_pipeline import _write_fixture
+
+
+def _run(args, timeout=1200):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run(
+        [sys.executable, "-m"] + args, capture_output=True, text=True,
+        timeout=timeout, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_train_cli_on_fixture(tmp_path):
+    pkl = _write_fixture(str(tmp_path))
+    r = _run(["dhd_tpu.cli.train", "--preset", "dhd_tiny",
+              "--ann-file", pkl, "--steps", "2", "--batch-size", "2",
+              "--log-interval", "1",
+              "--work-dir", str(tmp_path / "wd")])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "loss_total" in r.stdout
+    assert (tmp_path / "wd" / "metrics.jsonl").exists()
+
+
+def test_test_cli_on_fixture(tmp_path):
+    pkl = _write_fixture(str(tmp_path))
+    r = _run(["dhd_tpu.cli.test", "--preset", "dhd_tiny",
+              "--ann-file", pkl, "--limit", "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "mIoU" in r.stdout
