@@ -146,6 +146,11 @@ class ModelConfig:
     # image backbone: 'resnet50' or 'swin_base'
     backbone: str = "resnet50"
     backbone_out_indices: Tuple[int, ...] = (2, 3)
+    # Swin topology (defaults = Swin-B as in DHD-L.py:45-67)
+    swin_embed_dims: int = 128
+    swin_depths: Tuple[int, ...] = (2, 2, 18, 2)
+    swin_num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    swin_window: int = 12
     img_neck: str = "custom_fpn"     # 'custom_fpn' | 'fpn_lss'
     img_neck_in_channels: Tuple[int, ...] = (1024, 2048)
     img_neck_out_channels: int = 256

@@ -292,7 +292,9 @@ def build_rules(cfg: ModelConfig) -> List[Rule]:
     if cfg.backbone == "resnet50":
         rules += _resnet50("img_backbone", ("img_encoder", "backbone"))
     elif cfg.backbone == "swin_base":
-        rules += _swin("img_backbone", ("img_encoder", "backbone"))
+        rules += _swin("img_backbone", ("img_encoder", "backbone"),
+                       depths=cfg.swin_depths,
+                       out_indices=cfg.backbone_out_indices)
     if cfg.img_neck == "custom_fpn":
         rules += _custom_fpn("img_neck", ("img_encoder", "neck"),
                              len(cfg.img_neck_in_channels))

@@ -83,6 +83,10 @@ class ImageEncoder(nn.Module):
         elif cfg.backbone == "swin_base":
             from dhd_tpu.nn.swin import SwinTransformer
             feats = SwinTransformer(
+                embed_dims=cfg.swin_embed_dims,
+                depths=cfg.swin_depths,
+                num_heads=cfg.swin_num_heads,
+                window_size=cfg.swin_window,
                 return_stereo_feat=stereo,
                 out_indices=cfg.backbone_out_indices
                 if not stereo else (2, 3),

@@ -133,6 +133,34 @@ def test_cost_volume_identity_transform():
     np.testing.assert_allclose(center, 0.25, atol=1e-5)
 
 
+def test_tiny_swin_stereo_assembly():
+    """DHD-L-shaped assembly (Swin backbone + FPN_LSS neck + stereo) at tiny
+    dims compiles and runs."""
+    import dataclasses
+    base = get_config("dhd_tiny_stereo")
+    # width divisible by 32 so Swin's ceil patch-merging stays aligned with
+    # the FPN_LSS upsample (real DHD-L input 512x1408 is divisible too)
+    vt = dataclasses.replace(base.vt, input_size=(64, 192))
+    cfg = dataclasses.replace(
+        base,
+        vt=vt,
+        backbone="swin_base",
+        swin_embed_dims=16, swin_depths=(1, 1, 2, 1),
+        swin_num_heads=(1, 2, 4, 8), swin_window=4,
+        img_neck="fpn_lss",
+        img_neck_in_channels=(64, 128),
+        img_neck_out_channels=base.vt.in_channels,
+    )
+    model = build_model(cfg)
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(cfg, batch_size=1, seed=5).items()}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out = model.apply(variables, batch, train=False)
+    assert out["occ_logits"].shape == (
+        1, cfg.vt.x.size, cfg.vt.y.size, cfg.head_Dz, cfg.num_classes)
+    assert np.isfinite(np.asarray(out["occ_logits"])).all()
+
+
 def test_uncollapse_inverts_collapse():
     x = jnp.asarray(np.random.default_rng(0).normal(
         0, 1, (2, 4, 6, 6, 3)).astype(np.float32))
