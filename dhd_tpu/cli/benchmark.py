@@ -31,7 +31,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="dhd_s")
     p.add_argument("--what", default="full",
-                   choices=["full", "stages", "flops", "train"])
+                   choices=["full", "stages", "flops", "train", "pool"])
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--fp32", dest="bf16", action="store_false")
@@ -78,6 +78,33 @@ def main():
               f"{ca.get('bytes accessed', float('nan')) / 1e9:.2f} GB")
         n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
         print(f"params: {n_params / 1e6:.1f} M")
+        return
+
+    if args.what == "pool":
+        # XLA segment_sum vs the Pallas kernel at this preset's pooling scale
+        import numpy as np
+        from dhd_tpu.ops.pallas_pool import segment_sum_pooling
+        vt = cfg.vt
+        fh, fw = vt.feat_size
+        p_pts = cfg.num_cams * vt.D * fh * fw
+        v = vt.z_fine.size * vt.y.size * vt.x.size
+        c = vt.out_channels
+        rng = np.random.default_rng(0)
+        vals = jnp.asarray(rng.normal(0, 1, (p_pts, c)).astype(np.float32))
+        seg = jnp.asarray(rng.integers(0, v, p_pts).astype(np.int32))
+
+        def timed(name, fn):
+            @jax.jit
+            def step(carry):
+                out = fn(vals + carry.astype(vals.dtype))
+                return jnp.tanh(jnp.sum(out.astype(jnp.float32))) * 1e-9
+            print(f"{name}: {chained_time(step, args.iters) * 1e3:.2f} ms",
+                  flush=True)
+
+        timed("xla segment_sum",
+              lambda x: jax.ops.segment_sum(x, seg, num_segments=v + 1))
+        timed("pallas kernel (sorts inside)",
+              lambda x: segment_sum_pooling(x, seg, v))
         return
 
     if args.what == "full":
