@@ -38,8 +38,8 @@ def main() -> None:
     batch = {k: jnp.asarray(v)
              for k, v in synthetic_batch(cfg, batch_size=batch_size,
                                          with_gt=False).items()}
-    init = jax.jit(lambda rng: model.init(rng, batch, train=False))
-    variables = jax.block_until_ready(init(jax.random.PRNGKey(0)))
+    init = jax.jit(lambda rng, b: model.init(rng, b, train=False))
+    variables = jax.block_until_ready(init(jax.random.PRNGKey(0), batch))
 
     @jax.jit
     def step(variables, batch, carry):

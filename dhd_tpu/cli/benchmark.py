@@ -14,15 +14,19 @@ import argparse
 import time
 
 
-def chained_time(step, iters: int = 20):
-    """step: jitted fn(carry)->carry.  Returns seconds/iter."""
+def chained_time(step, iters: int = 20, *args):
+    """step: jitted fn(carry, *args)->carry.  Returns seconds/iter.
+
+    Extra operands go through ``args`` (jit arguments, not closure
+    constants — closed-over batches blow up the compile payload).
+    """
     import jax.numpy as jnp
     c = jnp.zeros((), jnp.float32)
-    c = step(c)
+    c = step(c, *args)
     _ = float(c)                      # force compile + completion
     t0 = time.perf_counter()
     for _ in range(iters):
-        c = step(c)
+        c = step(c, *args)
     _ = float(c)
     return (time.perf_counter() - t0) / iters
 
@@ -56,12 +60,13 @@ def main():
              for k, v in synthetic_batch(cfg, args.batch_size,
                                          with_gt=False).items()}
     variables = jax.jit(
-        lambda: model.init(jax.random.PRNGKey(0), batch, train=False))()
+        lambda rng, b: model.init(rng, b, train=False))(
+        jax.random.PRNGKey(0), batch)
     _ = float(jnp.sum(jax.tree.leaves(variables)[0].astype(jnp.float32)))
 
     def full_step_factory():
         @jax.jit
-        def step(c):
+        def step(c, batch):
             b = dict(batch)
             b["imgs"] = batch["imgs"] + c.astype(batch["imgs"].dtype)
             out = model.apply(variables, b, train=False)["occ_logits"]
@@ -95,10 +100,11 @@ def main():
 
         def timed(name, fn):
             @jax.jit
-            def step(carry):
+            def step(carry, vals):
                 out = fn(vals + carry.astype(vals.dtype))
                 return jnp.tanh(jnp.sum(out.astype(jnp.float32))) * 1e-9
-            print(f"{name}: {chained_time(step, args.iters) * 1e3:.2f} ms",
+            print(f"{name}: "
+                  f"{chained_time(step, args.iters, vals) * 1e3:.2f} ms",
                   flush=True)
 
         timed("xla segment_sum",
@@ -108,7 +114,7 @@ def main():
         return
 
     if args.what == "full":
-        dt_s = chained_time(full_step_factory(), args.iters)
+        dt_s = chained_time(full_step_factory(), args.iters, batch)
         fps = args.batch_size / dt_s
         print(f"{args.preset} end-to-end: {dt_s * 1e3:.2f} ms/iter "
               f"= {fps:.1f} samples/s")
