@@ -109,8 +109,10 @@ def main():
 
         timed("xla segment_sum",
               lambda x: jax.ops.segment_sum(x, seg, num_segments=v + 1))
-        timed("pallas kernel (sorts inside)",
-              lambda x: segment_sum_pooling(x, seg, v))
+        interp = jax.devices()[0].platform != "tpu"
+        timed("pallas kernel (sorts inside)"
+              + (" [interpret]" if interp else ""),
+              lambda x: segment_sum_pooling(x, seg, v, interp))
         return
 
     if args.what == "full":
