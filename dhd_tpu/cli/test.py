@@ -112,7 +112,11 @@ def main():
     if args.eval == "ray-iou" and infos is not None:
         from dhd_tpu.eval import rayiou_from_outputs, scene_origins
         origins = [scene_origins(infos, i) for i in token_idx]
-        res = rayiou_from_outputs(preds_list, gts_list, origins)
+        vt = cfg.vt
+        pc_range = (vt.x.lower, vt.y.lower, vt.z_fine.lower,
+                    vt.x.upper, vt.y.upper, vt.z_fine.upper)
+        res = rayiou_from_outputs(preds_list, gts_list, origins,
+                                  pc_range, vt.x.interval)
         for k in ("RayIoU", "RayIoU@1", "RayIoU@2", "RayIoU@4"):
             print(f"{k}: {res[k]:.4f}")
     print(metric.summary(), flush=True)

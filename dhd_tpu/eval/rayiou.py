@@ -161,19 +161,23 @@ def init_voxelize(points: jnp.ndarray, tindex: jnp.ndarray,
 
 
 def process_one_sample(sem: np.ndarray, lidar_rays: np.ndarray,
-                       origins: np.ndarray) -> np.ndarray:
+                       origins: np.ndarray,
+                       pc_range: Sequence[float] = PC_RANGE,
+                       voxel_size: float = VOXEL_SIZE) -> np.ndarray:
     """-> (T*M, 2) of [semantic label at hit voxel, hit distance in meters]
-    (ray_metrics.py:82-135)."""
-    sem = np.reshape(sem, (200, 200, 16))
+    (ray_metrics.py:82-135).  ``sem`` is a (Dx, Dy, Dz) class grid; the
+    reference hard-codes 200x200x16 but any grid consistent with
+    ``pc_range``/``voxel_size`` works here."""
+    sem = np.asarray(sem)
     occ = jnp.asarray((sem != FREE_ID).astype(np.float32))
-    offset = np.asarray(PC_RANGE[:3], np.float32)
+    offset = np.asarray(pc_range[:3], np.float32)
     out = []
     for t in range(origins.shape[0]):
         o = origins[t]
-        endpts = (lidar_rays + o - offset) / VOXEL_SIZE
-        o_vox = (o - offset) / VOXEL_SIZE
+        endpts = (lidar_rays + o - offset) / voxel_size
+        o_vox = (o - offset) / voxel_size
         dist, coord = ray_march(occ, jnp.asarray(o_vox), jnp.asarray(endpts))
-        dist = np.asarray(dist) * VOXEL_SIZE
+        dist = np.asarray(dist) * voxel_size
         coord = np.asarray(coord)
         labels = sem[coord[:, 0], coord[:, 1], coord[:, 2]]
         out.append(np.stack([labels.astype(np.float32), dist], axis=-1))
@@ -248,12 +252,15 @@ def calc_rayiou(pcd_pred_list: List[np.ndarray],
     }
 
 
-def rayiou_from_outputs(sem_pred_list, sem_gt_list, origins_list
-                        ) -> Dict[str, float]:
+def rayiou_from_outputs(sem_pred_list, sem_gt_list, origins_list,
+                        pc_range: Sequence[float] = PC_RANGE,
+                        voxel_size: float = VOXEL_SIZE) -> Dict[str, float]:
     """Full RayIoU pipeline over a dataset's outputs (ray_metrics.main)."""
     rays = generate_lidar_rays()
     preds, gts = [], []
     for sp, sg, org in zip(sem_pred_list, sem_gt_list, origins_list):
-        preds.append(process_one_sample(np.asarray(sp), rays, org))
-        gts.append(process_one_sample(np.asarray(sg), rays, org))
+        preds.append(process_one_sample(np.asarray(sp), rays, org,
+                                        pc_range, voxel_size))
+        gts.append(process_one_sample(np.asarray(sg), rays, org,
+                                      pc_range, voxel_size))
     return calc_rayiou(preds, gts)

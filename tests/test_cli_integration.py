@@ -34,3 +34,11 @@ def test_test_cli_on_fixture(tmp_path):
               "--ann-file", pkl, "--limit", "2"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "mIoU" in r.stdout
+
+
+def test_test_cli_rayiou_on_fixture(tmp_path):
+    pkl = _write_fixture(str(tmp_path))
+    r = _run(["dhd_tpu.cli.test", "--preset", "dhd_tiny",
+              "--ann-file", pkl, "--limit", "1", "--eval", "ray-iou"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "RayIoU@1" in r.stdout
