@@ -28,9 +28,12 @@ BASELINE_FPS = 10.0
 
 
 def main() -> None:
+    from dhd_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()
     from dhd_tpu.config import get_config
     from dhd_tpu.data import synthetic_batch
     from dhd_tpu.models import DHDNet
+    from dhd_tpu.models.dhd import build_batch_pool_plan
 
     batch_size = 1
     cfg = get_config("dhd_s")
@@ -40,6 +43,12 @@ def main() -> None:
                                          with_gt=False).items()}
     init = jax.jit(lambda rng, b: model.init(rng, b, train=False))
     variables = jax.block_until_ready(init(jax.random.PRNGKey(0), batch))
+    # serving configuration: the voxel-pooling plan (sort order + kernel
+    # visit tables) is geometry-only, precomputed once per camera rig —
+    # the reference benchmark's 'accelerate' mode
+    # (tools/analysis_tools/benchmark.py:83-84)
+    batch["pool_plan"] = jax.jit(
+        lambda b: build_batch_pool_plan(cfg, b))(batch)
 
     @jax.jit
     def step(variables, batch, carry):
@@ -72,8 +81,18 @@ def main() -> None:
     dt = time.perf_counter() - t0
     fps = iters * batch_size / dt
 
+    # context for the absolute number: ~934 GFLOPs/forward (XLA cost
+    # analysis, README) vs the chip's bf16 peak
+    dev = jax.devices()[0]
+    peak_tflops = 197.0 if "v5 lite" in str(dev) else float("nan")
+    mfu = fps * 934e9 / (peak_tflops * 1e12)
+    print(f"chip: {dev}; est. MFU {mfu * 100:.1f}% "
+          f"(934 GFLOP/fwd @ {peak_tflops:.0f} TFLOP/s bf16 peak); "
+          f"vs_baseline denominator {BASELINE_FPS} fps is an ESTIMATE "
+          f"(BEVPoolv2 report, arXiv 2211.17111) — no GPU available to "
+          f"measure the reference", file=sys.stderr)
     print(json.dumps({
-        "metric": "dhd_s_6cam_inference",
+        "metric": "dhd_s_6cam_inference_tpu_v5e",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

@@ -47,6 +47,8 @@ def main():
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
         jax.config.update("jax_platforms", plat)
+    from dhd_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from dhd_tpu.config import get_config
@@ -86,33 +88,76 @@ def main():
         return
 
     if args.what == "pool":
-        # XLA segment_sum vs the Pallas kernel at this preset's pooling scale
+        # the full MGHS pooling stage at this preset's scale: XLA
+        # segment-sums vs the Pallas dual kernel (in-jit sort) vs the Pallas
+        # kernel with a precomputed plan (serving / 'accelerate' mode)
         import numpy as np
+        from dhd_tpu.geometry import create_frustum, frustum_to_ego
+        from dhd_tpu.ops import (build_pool_plan, compute_pool_indices,
+                                 mghs_pool, mghs_pool_pallas)
         from dhd_tpu.ops.pallas_pool import segment_sum_pooling
         vt = cfg.vt
         fh, fw = vt.feat_size
-        p_pts = cfg.num_cams * vt.D * fh * fw
-        v = vt.z_fine.size * vt.y.size * vt.x.size
+        b, n = args.batch_size, cfg.num_cams
         c = vt.out_channels
         rng = np.random.default_rng(0)
-        vals = jnp.asarray(rng.normal(0, 1, (p_pts, c)).astype(np.float32))
-        seg = jnp.asarray(rng.integers(0, v, p_pts).astype(np.int32))
+        geom = {k: batch[k] for k in ("sensor2keyego", "intrins",
+                                      "post_rots", "post_trans", "bda")}
+        coords = frustum_to_ego(
+            create_frustum(vt.depth, vt.input_size, vt.downsample, vt.sid),
+            geom["sensor2keyego"], geom["intrins"], geom["post_rots"],
+            geom["post_trans"], geom["bda"])
+        idx = jax.jit(lambda co: compute_pool_indices(co, vt))(coords)
+        depth = jnp.asarray(jax.nn.softmax(jnp.asarray(
+            rng.normal(0, 1, (b, n, vt.D, fh, fw)), jnp.float32), axis=2),
+            dt)
+        feat = jnp.asarray(rng.normal(0, 1, (b, n, fh, fw, c)), dt)
+        bmask = jnp.asarray(
+            rng.integers(0, 2, (b, n, fh, fw, 3)).astype(np.float32), dt)
+        interp = jax.devices()[0].platform != "tpu"
+        plan = jax.jit(lambda i: build_pool_plan(i, vt, depth.shape))(idx)
 
         def timed(name, fn):
             @jax.jit
-            def step(carry, vals):
-                out = fn(vals + carry.astype(vals.dtype))
-                return jnp.tanh(jnp.sum(out.astype(jnp.float32))) * 1e-9
+            def step(carry, depth, feat):
+                bev, vox = fn(depth, feat + carry.astype(feat.dtype))
+                return jnp.tanh(jnp.sum(bev.astype(jnp.float32))
+                                + jnp.sum(vox.astype(jnp.float32))) * 1e-9
             print(f"{name}: "
-                  f"{chained_time(step, args.iters, vals) * 1e3:.2f} ms",
-                  flush=True)
+                  f"{chained_time(step, args.iters, depth, feat) * 1e3:.2f}"
+                  f" ms", flush=True)
 
-        timed("xla segment_sum",
-              lambda x: jax.ops.segment_sum(x, seg, num_segments=v + 1))
-        interp = jax.devices()[0].platform != "tpu"
-        timed("pallas kernel (sorts inside)"
-              + (" [interpret]" if interp else ""),
-              lambda x: segment_sum_pooling(x, seg, v, interp))
+        timed("mghs_pool xla segment_sum",
+              lambda d, f: mghs_pool(d, f, bmask, idx, vt))
+        tag = " [interpret]" if interp else ""
+        timed(f"mghs_pool pallas (in-jit sort){tag}",
+              lambda d, f: mghs_pool_pallas(d, f, bmask, idx, vt, interp))
+        timed(f"mghs_pool pallas + plan (serving){tag}",
+              lambda d, f: mghs_pool_pallas(d, f, bmask, None, vt, interp,
+                                            plan=plan))
+        # raw scatter primitive comparison (the CUDA-kernel analogue)
+        p_pts = b * n * vt.D * fh * fw
+        v = vt.z_fine.size * vt.y.size * vt.x.size * b
+        vals = jnp.asarray(rng.normal(0, 1, (p_pts, c)), dt)
+        seg = jnp.asarray(rng.integers(0, int(v * 1.5), p_pts)
+                          .astype(np.int32))
+
+        @jax.jit
+        def s1(carry, vals):
+            out = jax.ops.segment_sum(vals + carry.astype(vals.dtype), seg,
+                                      num_segments=v + 1)
+            return jnp.tanh(jnp.sum(out.astype(jnp.float32))) * 1e-9
+
+        @jax.jit
+        def s2(carry, vals):
+            out = segment_sum_pooling(vals + carry.astype(vals.dtype), seg,
+                                      v, interp)
+            return jnp.tanh(jnp.sum(out.astype(jnp.float32))) * 1e-9
+
+        print(f"raw xla segment_sum: "
+              f"{chained_time(s1, args.iters, vals) * 1e3:.2f} ms")
+        print(f"raw pallas segment_sum (sorts inside){tag}: "
+              f"{chained_time(s2, args.iters, vals) * 1e3:.2f} ms")
         return
 
     if args.what == "full":

@@ -36,6 +36,8 @@ def main():
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
         jax.config.update("jax_platforms", plat)
+    from dhd_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -50,9 +52,13 @@ def main():
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = build_model(cfg, dtype=dtype)
 
+    # Every batch is yielded as (sample_indices, batch) so downstream
+    # bookkeeping (ray-iou origins) cannot drift from what was evaluated.
     if args.synthetic or args.ann_file is None:
         from dhd_tpu.data import synthetic_batch
-        batches = [synthetic_batch(cfg, batch_size=args.batch_size, seed=i)
+        bs = args.batch_size
+        batches = [(list(range(i * bs, (i + 1) * bs)),
+                    synthetic_batch(cfg, batch_size=bs, seed=i))
                    for i in range(2)]
         infos = None
     else:
@@ -65,15 +71,22 @@ def main():
         n = min(len(ds), args.limit or len(ds))
 
         def gen():
-            for i in range(0, n - n % args.batch_size, args.batch_size):
-                yield collate([pipe(ds.get_sample(i + j))
-                               for j in range(args.batch_size)])
+            # every sample is evaluated exactly once: the tail batch is
+            # smaller (one extra jit specialization) instead of being
+            # dropped (reference evaluates all of val, tools/test.py:286).
+            for i in range(0, n, args.batch_size):
+                idxs = list(range(i, min(i + args.batch_size, n)))
+                yield idxs, collate([pipe(ds.get_sample(j)) for j in idxs])
         batches = gen()
         infos = ds.data_infos
 
-    example = {k: jnp.asarray(v) for k, v in
-               (batches[0] if isinstance(batches, list)
-                else next(iter(batches))).items()}
+    # peek the first batch without consuming it (generators are their own
+    # iterators: next(iter(gen)) would silently skip batch 0)
+    import itertools
+    it = iter(batches)
+    first = next(it)
+    it = itertools.chain([first], it)
+    example = {k: jnp.asarray(v) for k, v in first[1].items()}
     if args.checkpoint and args.checkpoint.endswith(".pth"):
         from dhd_tpu.io.convert import load_torch_checkpoint
         variables = load_torch_checkpoint(args.checkpoint, cfg)
@@ -97,8 +110,9 @@ def main():
 
     metric = MIoUMetric()
     preds_list, gts_list, token_idx = [], [], []
-    it = batches if not isinstance(batches, list) else iter(batches)
-    for bi, batch in enumerate(it):
+    n_eval = 0
+    for idxs, batch in it:
+        n_eval += len(idxs)
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         occ = np.asarray(eval_step(jbatch))
         metric.add_batch(occ, batch["voxel_semantics"],
@@ -106,11 +120,15 @@ def main():
         if args.eval == "ray-iou":
             preds_list.extend(list(occ))
             gts_list.extend(list(batch["voxel_semantics"]))
-            token_idx.extend(range(bi * args.batch_size,
-                                   (bi + 1) * args.batch_size))
+            token_idx.extend(idxs)
 
     if args.eval == "ray-iou" and infos is not None:
         from dhd_tpu.eval import rayiou_from_outputs, scene_origins
+        # origins are looked up by the exact sample indices that were
+        # evaluated, in evaluation order (regression guard for the
+        # batch/origin alignment)
+        print("rayiou-samples: "
+              + " ".join(infos[i]["token"] for i in token_idx))
         origins = [scene_origins(infos, i) for i in token_idx]
         vt = cfg.vt
         pc_range = (vt.x.lower, vt.y.lower, vt.z_fine.lower,
@@ -119,6 +137,7 @@ def main():
                                   pc_range, vt.x.interval)
         for k in ("RayIoU", "RayIoU@1", "RayIoU@2", "RayIoU@4"):
             print(f"{k}: {res[k]:.4f}")
+    print(f"evaluated {n_eval} samples")
     print(metric.summary(), flush=True)
 
 

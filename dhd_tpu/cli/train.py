@@ -54,6 +54,8 @@ def main():
     plat = os.environ.get("JAX_PLATFORMS")
     if plat:
         jax.config.update("jax_platforms", plat)
+    from dhd_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     import numpy as np
 

@@ -184,6 +184,10 @@ class ModelConfig:
     # rematerialize backbone blocks in backward (reference with_cp=True,
     # DHD-S.py:52)
     backbone_remat: bool = True
+    # voxel pooling backend: 'auto' = Pallas kernel at inference on TPU,
+    # XLA segment_sum otherwise (training backward is a pure gather under
+    # XLA); 'xla' / 'pallas' force one
+    pool_method: str = "auto"
 
     @property
     def num_frames(self) -> int:

@@ -266,6 +266,20 @@ class SamplePipeline:
             batch["imgs"] = imgs
             batch["sensor2ego"] = s2e
             batch["ego2global"] = e2g
+            # key-ego alignment + cur->adj sensor transforms precomputed
+            # host-side in float64 (the reference's .double() semantics,
+            # bevdet.py:72-74): nuScenes global translations are O(1000 m)
+            # and the compositions below subtract near-equal poses.
+            s2e64 = s2e.astype(np.float64)
+            e2g64 = e2g.astype(np.float64)
+            g2k = np.linalg.inv(e2g64[0, 0])
+            batch["sensor2keyego"] = (
+                g2k @ e2g64 @ s2e64).astype(np.float32)
+            cam2glob = e2g64 @ s2e64                      # (F, N, 4, 4)
+            # curr2adjsensor[f]: frame-f camera -> frame-(f+1) camera
+            batch["curr2adjsensor"] = (
+                np.linalg.inv(cam2glob[1:]) @ cam2glob[:-1]
+            ).astype(np.float32)
         else:
             batch.update(intrins=intr[0], post_rots=post_rots[0],
                          post_trans=post_trans[0])

@@ -91,6 +91,16 @@ def synthetic_batch(cfg: ModelConfig, batch_size: int = 1, seed: int = 0,
     if cfg.temporal:
         batch["sensor2ego"] = s2e
         batch["ego2global"] = e2g
+        # host-side float64 key-ego / adjacent-sensor compositions, matching
+        # the real pipeline (the reference's .double(), bevdet.py:72-74)
+        s2e64 = s2e.astype(np.float64)
+        e2g64 = e2g.astype(np.float64)
+        g2k = np.linalg.inv(e2g64[:, 0, 0])[:, None, None]
+        batch["sensor2keyego"] = (g2k @ e2g64 @ s2e64).astype(np.float32)
+        cam2glob = e2g64 @ s2e64
+        batch["curr2adjsensor"] = (
+            np.linalg.inv(cam2glob[:, 1:]) @ cam2glob[:, :-1]
+        ).astype(np.float32)
     else:
         batch["sensor2keyego"] = s2e
         batch["ego2global"] = e2g

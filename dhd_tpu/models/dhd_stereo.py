@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dhd_tpu.config import ModelConfig
-from dhd_tpu.geometry import create_frustum, get_mlp_input
+from dhd_tpu.geometry import (create_frustum, get_mlp_input, rigid_inverse,
+                              rigid_relative)
 from dhd_tpu.ops import grid_sample_2d
 from dhd_tpu.ops.cost_volume import stereo_cost_volume
 from dhd_tpu.nn import CustomResNet, OccHead, SFA, UNet
@@ -38,10 +39,11 @@ Dtype = Any
 
 
 def uncollapse_z(x: jnp.ndarray, dz: int) -> jnp.ndarray:
-    """(B, Dy, Dx, Dz*C) -> (B, Dz, Dy, Dx, C): inverse of collapse_z,
-    matching torch.stack(torch.chunk(x, Dz, 1), 2) (DHD_model.py:366-367)."""
+    """(B, Dy, Dx, Dz*C) -> (B, Dy, Dx, Dz, C): inverse of collapse_z,
+    matching torch.stack(torch.chunk(x, Dz, 1), 2) (DHD_model.py:366-367).
+    A free reshape under the z-minor voxel layout."""
     b, dy, dx, zc = x.shape
-    return jnp.transpose(x.reshape(b, dy, dx, dz, zc // dz), (0, 3, 1, 2, 4))
+    return x.reshape(b, dy, dx, dz, zc // dz)
 
 
 def shift_grid(dy: int, dx: int, curr_s2k: jnp.ndarray, prev_s2k: jnp.ndarray,
@@ -87,20 +89,33 @@ class DHDStereoNet(nn.Module):
 
     def _prepare_inputs(self, batch):
         """Key-ego alignment + cur->adj sensor transforms
-        (bevdet4d.py:208-288), frames-major layout."""
+        (bevdet4d.py:208-288), frames-major layout.
+
+        The reference does this in fp64 (bevdet.py:72-74 `.double()`).  The
+        pipeline precomputes both transforms host-side in np.float64
+        (data/pipeline.py) and ships them as batch keys; when a caller feeds
+        raw poses instead, the in-jit fallback uses the cancellation-free
+        SE3 composition (geometry/rigid.py) so fp32 stays accurate despite
+        O(1000 m) nuScenes global translations.
+        """
+        if "sensor2keyego" in batch and "curr2adjsensor" in batch:
+            return (batch["sensor2keyego"].astype(jnp.float32),
+                    batch["curr2adjsensor"].astype(jnp.float32))
         hp = jax.lax.Precision.HIGHEST
-        s2e = batch["sensor2ego"].astype(jnp.float64)     # (B, F, N, 4, 4)
-        e2g = batch["ego2global"].astype(jnp.float64)
-        keyego2global = e2g[:, 0, 0][:, None, None]       # (B, 1, 1, 4, 4)
-        global2keyego = jnp.linalg.inv(keyego2global)
-        s2k = jnp.einsum("bfnij,bfnjk,bfnkl->bfnil",
-                         jnp.broadcast_to(global2keyego, e2g.shape),
-                         e2g, s2e, precision=hp).astype(jnp.float32)
-        # curr2adjsensor[f]: frame-f camera -> frame-(f+1) camera
-        cam2glob = jnp.einsum("bfnij,bfnjk->bfnik", e2g, s2e, precision=hp)
-        c2a = jnp.einsum("bfnij,bfnjk->bfnik",
-                         jnp.linalg.inv(cam2glob[:, 1:]),
-                         cam2glob[:, :-1], precision=hp).astype(jnp.float32)
+        s2e = batch["sensor2ego"].astype(jnp.float32)     # (B, F, N, 4, 4)
+        e2g = batch["ego2global"].astype(jnp.float32)
+        keyego2global = jnp.broadcast_to(
+            e2g[:, 0, 0][:, None, None], e2g.shape)       # (B, F, N, 4, 4)
+        # inv(keyego2global) @ e2g, large translations cancelled first
+        g2k_e2g = rigid_relative(keyego2global, e2g)
+        s2k = jnp.einsum("bfnij,bfnjk->bfnik", g2k_e2g, s2e, precision=hp)
+        # curr2adjsensor[f]: frame-f camera -> frame-(f+1) camera.
+        # inv(e2g[f+1] s2e[f+1]) @ (e2g[f] s2e[f]) — the large global poses
+        # meet only inside rigid_relative; everything else is O(metres).
+        e2g_rel = rigid_relative(e2g[:, 1:], e2g[:, :-1])
+        c2a = jnp.einsum("bfnij,bfnjk,bfnkl->bfnil",
+                         rigid_inverse(s2e[:, 1:]), e2g_rel, s2e[:, :-1],
+                         precision=hp)
         return s2k, c2a
 
     @nn.compact
@@ -260,9 +275,9 @@ class DHDStereoNet(nn.Module):
         vt = cfg.vt
         x_2d = BEVEncoder(cfg, dtype=self.dtype, name="bev_encoder")(
             bev_cat, train)
-        s1, s2, _ = vt.slab_sizes
-        slabs = [vox_cat[:, :s1], vox_cat[:, s1:s1 + s2],
-                 vox_cat[:, s1 + s2:]]
+        s1, s2, _ = vt.slab_sizes                # vox_cat (B, Dy, Dx, Dz, C)
+        slabs = [vox_cat[..., :s1, :], vox_cat[..., s1:s1 + s2, :],
+                 vox_cat[..., s1 + s2:, :]]
         outs3d = []
         for i, slab in enumerate(slabs):
             y = UNet(n_classes=cfg.voxel_encoder_out[i], dtype=self.dtype,
@@ -303,12 +318,13 @@ class DHDStereoNet(nn.Module):
                              num_layer=(1,), stride=(1,), dtype=self.dtype,
                              name="pre_process_3d") if cfg.pre_process else None
 
-        s2e = batch["sensor2ego"].astype(jnp.float64)
-        e2g = batch["ego2global"].astype(jnp.float64)
-        g2k = jnp.linalg.inv(e2g[:, :1])
-        s2k = jnp.einsum("bnij,bnjk,bnkl->bnil",
-                         jnp.broadcast_to(g2k, e2g.shape), e2g, s2e,
-                         precision=hp).astype(jnp.float32)
+        s2e = batch["sensor2ego"].astype(jnp.float32)
+        e2g = batch["ego2global"].astype(jnp.float32)
+        # inv(keyego2global) @ e2g via the cancellation-free SE3 relative
+        # (geometry/rigid.py) — fp64-equivalent accuracy in fp32
+        g2k_e2g = rigid_relative(
+            jnp.broadcast_to(e2g[:, :1], e2g.shape), e2g)
+        s2k = jnp.einsum("bnij,bnjk->bnik", g2k_e2g, s2e, precision=hp)
         cam2global = jnp.einsum("bnij,bnjk->bnik", e2g, s2e,
                                 precision=hp)
 
@@ -326,10 +342,7 @@ class DHDStereoNet(nn.Module):
             if prev_sf is None:
                 cost_volume = jnp.zeros((b * n, hs, ws, vt.D), self.dtype)
             else:
-                k2s = jnp.einsum(
-                    "bnij,bnjk->bnik",
-                    jnp.linalg.inv(cache["cam2global"].astype(jnp.float64)),
-                    cam2global, precision=hp).astype(jnp.float32)
+                k2s = rigid_relative(cache["cam2global"], cam2global)
                 cv_frustum = create_frustum(vt.depth, vt.input_size,
                                             downsample=4, sid=vt.sid)
                 cv = stereo_cost_volume(
@@ -362,10 +375,9 @@ class DHDStereoNet(nn.Module):
         else:
             # warp the cached grids from the previous ego frame into the
             # current one (shift_feature, bevdet4d.py:118-134)
-            prev_s2k_front = jnp.einsum(
-                "bij,bjk->bik", g2k[:, 0].astype(jnp.float64),
-                cache["cam2global"][:, 0].astype(jnp.float64),
-                precision=hp).astype(jnp.float32)
+            # inv(keyego2global) @ prev_cam2global, cancellation-free
+            prev_s2k_front = rigid_relative(e2g[:, 0],
+                                            cache["cam2global"][:, 0])
             grid = shift_grid(vt.y.size, vt.x.size, s2k[:, 0],
                               prev_s2k_front, bda, vt.x, vt.y)
             prev_bev = grid_sample_2d(cache["bev"], grid)

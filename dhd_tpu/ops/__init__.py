@@ -2,6 +2,8 @@ from .voxel_pool import (
     bev_pool_v2,
     compute_pool_indices,
     mghs_pool,
+    mghs_pool_pallas,
+    build_pool_plan,
 )
 from .warp import grid_sample_2d
 
@@ -9,5 +11,7 @@ __all__ = [
     "bev_pool_v2",
     "compute_pool_indices",
     "mghs_pool",
+    "mghs_pool_pallas",
+    "build_pool_plan",
     "grid_sample_2d",
 ]

@@ -23,7 +23,8 @@ coordinate computation:
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+import functools
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,6 +44,9 @@ def _trunc_index(coord: jnp.ndarray, lower: float, interval: float
     return ((coord - lower) / interval).astype(jnp.int32)
 
 
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=("seg_bev", "seg_vox", "key", "band"),
+                   meta_fields=("num_seg_bev", "num_seg_vox"))
 @dataclasses.dataclass(frozen=True)
 class PoolIndices:
     """Static-shape pooling indices for one batch of frustum geometry.
@@ -50,9 +54,17 @@ class PoolIndices:
     All arrays are flattened over (B, N, D, fH, fW) points.
     ``seg_*`` index into the flattened output grid of the respective pass,
     with the value ``num_seg_*`` (one past the end) marking dropped points.
+
+    The fine-voxel layout is **z-minor** (seg = pillar * Dz + z): on TPU
+    this makes pooled outputs come out as (B, Dy, Dx, Dz, C), so the slab
+    z-collapse downstream is a free reshape instead of a 164 MB transpose,
+    and sorting by voxel id also sorts by BEV pillar (pillar = seg // Dz) —
+    one sort feeds both pooling passes of the Pallas path.
     """
     seg_bev: jnp.ndarray      # (P,) int32 into [0, B*Dy*Dx]
-    seg_vox: jnp.ndarray      # (P,) int32 into [0, B*Dz*Dy*Dx]
+    seg_vox: jnp.ndarray      # (P,) int32 into [0, B*Dy*Dx*Dz]
+    key: jnp.ndarray          # (P,) int32 sort key: z-clipped voxel id for
+    #                           every BEV-valid point, num_seg_vox otherwise
     band: jnp.ndarray         # (P,) int32 in [0, 2], band of the point's z voxel
     num_seg_bev: int
     num_seg_vox: int
@@ -88,21 +100,27 @@ def compute_pool_indices(coords: jnp.ndarray, vt: ViewTransformConfig
 
     batch_idx = jnp.arange(b, dtype=jnp.int32).reshape(
         (b,) + (1,) * (coords.ndim - 2))
-    # rank layout matches the reference: ((b*Dz + z)*Dy + y)*Dx + x
-    # (lss_heightmap.py:351-354); outputs are (B, Dz, Dy, Dx, C).
+    # the reference sorts by rank ((b*Dz + z)*Dy + y)*Dx + x and emits
+    # (B, Dz, Dy, Dx, C) (lss_heightmap.py:351-354); we use the z-minor
+    # pillar-major rank instead — same set of voxels, TPU-friendlier layout
+    # (see PoolIndices docstring).
     num_seg_bev = b * vt.z_full.size * dy * dx
-    num_seg_vox = b * dz_fine * dy * dx
-    seg_bev = ((batch_idx * vt.z_full.size + zi_full) * dy + yi) * dx + xi
-    seg_vox = ((batch_idx * dz_fine + zi_fine) * dy + yi) * dx + xi
+    num_seg_vox = b * dy * dx * dz_fine
+    pillar = (batch_idx * dy + yi) * dx + xi
+    zi_c = jnp.clip(zi_fine, 0, dz_fine - 1)
+    seg_bev = pillar * vt.z_full.size + zi_full
+    seg_vox = pillar * dz_fine + zi_fine
+    key = pillar * dz_fine + zi_c
     seg_bev = jnp.where(ok_bev, seg_bev, num_seg_bev)
     seg_vox = jnp.where(ok_vox, seg_vox, num_seg_vox)
+    key = jnp.where(ok_bev, key, num_seg_vox)
 
-    zi_c = jnp.clip(zi_fine, 0, dz_fine - 1)
     band = jnp.where(zi_c < s1, 0, jnp.where(zi_c < s1 + s2, 1, 2))
 
     return PoolIndices(
         seg_bev=seg_bev.reshape(-1),
         seg_vox=seg_vox.reshape(-1),
+        key=key.reshape(-1),
         band=band.reshape(-1).astype(jnp.int32),
         num_seg_bev=num_seg_bev,
         num_seg_vox=num_seg_vox,
@@ -126,7 +144,7 @@ def mghs_pool(depth: jnp.ndarray, feat: jnp.ndarray, band_mask: jnp.ndarray,
       vt: grid geometry.
     Returns:
       bev: (B, Dy, Dx, C) z-collapsed splat.
-      vox: (B, Dz_fine, Dy, Dx, C) height-gated fine splat.
+      vox: (B, Dy, Dx, Dz_fine, C) height-gated fine splat (z-minor).
     """
     b, n, d, fh, fw = depth.shape
     c = feat.shape[-1]
@@ -148,13 +166,101 @@ def mghs_pool(depth: jnp.ndarray, feat: jnp.ndarray, band_mask: jnp.ndarray,
                               num_segments=idx.num_seg_bev + 1)
     vox = jax.ops.segment_sum(vals * gate, idx.seg_vox,
                               num_segments=idx.num_seg_vox + 1)
-    bev = bev[:-1].reshape(b, vt.z_full.size, dy, dx, c)
-    vox = vox[:-1].reshape(b, dz, dy, dx, c)
+    bev = bev[:-1].reshape(b, dy, dx, vt.z_full.size, c)
+    vox = vox[:-1].reshape(b, dy, dx, dz, c)
     # z-collapse of the main grid: Dz_full is 1 for DHD, so this is a squeeze;
     # for generality sum-collapse like torch.cat(unbind(2)) would concat, but
     # the main grid always has Dz=1 in every DHD config.
     assert vt.z_full.size == 1, "main DHD grid is z-collapsed (Dz=1)"
-    return bev[:, 0], vox
+    return bev[..., 0, :], vox
+
+
+def build_pool_plan(idx: PoolIndices, vt: ViewTransformConfig,
+                    cams_shape: Tuple[int, int, int, int, int]) -> dict:
+    """Precompute the geometry-only half of the Pallas pooling: sort order,
+    sorted ids, and kernel visit tables.
+
+    The reference's 'accelerate' serving mode caches exactly this
+    (lss_heightmap.py:374-378, tools/analysis_tools/benchmark.py:83-84):
+    geometry depends only on calibration + augmentation, so a fixed camera
+    rig reuses one plan across every frame and pooling degenerates to
+    gathers + the kernel.
+
+    Args:
+      cams_shape: (B, N, D, fH, fW) of the depth tensor.
+    """
+    from dhd_tpu.ops.pallas_pool import dual_visit_tables
+
+    b, n, d, fh, fw = cams_shape
+    dz = vt.z_fine.size
+    num_vox = idx.num_seg_vox
+    p = idx.key.shape[0]
+    key_s, order = jax.lax.sort(
+        [idx.key, jnp.arange(p, dtype=jnp.int32)], num_keys=1)
+    pixel = jnp.broadcast_to(
+        (jnp.arange(b * n * fh * fw, dtype=jnp.int32)
+         .reshape(b * n, 1, fh * fw)), (b * n, d, fh * fw)).reshape(-1)
+    return {
+        "order": order,
+        "key_s": key_s,
+        "segv_s": jnp.take(idx.seg_vox, order),
+        "segb_s": jnp.where(key_s < num_vox, key_s // dz,
+                            idx.num_seg_bev),
+        "band_s": jnp.take(idx.band, order),
+        "pixel_s": jnp.take(pixel, order),
+        "tables": dual_visit_tables(key_s, num_vox),
+    }
+
+
+def mghs_pool_pallas(depth: jnp.ndarray, feat: jnp.ndarray,
+                     band_mask: jnp.ndarray, idx: Optional[PoolIndices],
+                     vt: ViewTransformConfig,
+                     interpret: bool = False,
+                     plan: Optional[dict] = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused MGHS pooling on the Pallas TPU kernel (inference path).
+
+    Numerically equivalent to :func:`mghs_pool` but runs the scatter as the
+    sorted one-hot-matmul kernel (ops/pallas_pool.py): ONE sort by the
+    z-minor voxel key feeds a dual-output kernel producing the fine voxel
+    grid and the BEV grid in a single pass over the points.  The height
+    gate is folded into the segment ids (a gated-off point simply becomes a
+    dropped id), so no gate multiply happens anywhere.
+
+    With ``plan`` (see :func:`build_pool_plan`) the sort and visit tables
+    are reused across frames — the reference's 'accelerate' serving mode —
+    and the per-frame cost is three gathers plus the kernel.  Training
+    keeps :func:`mghs_pool` — XLA's segment_sum backward is a pure gather,
+    while this path would need an extra scatter.
+
+    Returns:
+      bev: (B, Dy, Dx, C); vox: (B, Dy, Dx, Dz, C) in feat.dtype.
+    """
+    from dhd_tpu.ops.pallas_pool import mghs_pool_sorted_dual
+
+    b, n, d, fh, fw = depth.shape
+    c = feat.shape[-1]
+    dx, dy, dz = vt.x.size, vt.y.size, vt.z_fine.size
+    assert vt.z_full.size == 1, "main DHD grid is z-collapsed (Dz=1)"
+    if plan is None:
+        plan = build_pool_plan(idx, vt, depth.shape)
+    num_vox = b * dy * dx * dz
+
+    # per-frame work: gathers in sorted order (scalars; the only row gather
+    # is feat, fused with the outer product below), then the kernel
+    order = plan["order"]
+    pixel_s = plan["pixel_s"]
+    depth_s = jnp.take(depth.reshape(-1), order)
+    feat_s = jnp.take(feat.reshape(-1, c), pixel_s, axis=0)
+    vals_s = (depth_s.astype(feat.dtype)[:, None] * feat_s)
+    gate_s = band_mask.reshape(-1, 3)[pixel_s, plan["band_s"]]
+    segv_gated = jnp.where(gate_s > 0, plan["segv_s"], num_vox)
+
+    vox, bev = mghs_pool_sorted_dual(
+        vals_s, segv_gated, plan["segb_s"], plan["key_s"], num_vox, dz,
+        interpret=interpret, out_dtype=feat.dtype, tables=plan["tables"])
+    return (bev.reshape(b, dy, dx, c),
+            vox.reshape(b, dy, dx, dz, c))
 
 
 def bev_pool(feats: jnp.ndarray, coords: jnp.ndarray, b: int, dz: int,

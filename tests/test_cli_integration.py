@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # subprocess CLIs: full pipeline + jit per test
+
 from tests.test_data_pipeline import _write_fixture
 
 
@@ -42,3 +44,18 @@ def test_test_cli_rayiou_on_fixture(tmp_path):
               "--ann-file", pkl, "--limit", "1", "--eval", "ray-iou"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert "RayIoU@1" in r.stdout
+
+
+def test_test_cli_evaluates_every_sample_once(tmp_path):
+    """Regression: (a) the first batch used to be consumed by the example
+    peek and never scored, (b) ray-iou origins were misaligned by one batch,
+    (c) the tail (len % batch_size) samples were silently dropped."""
+    pkl = _write_fixture(str(tmp_path))
+    # 3 samples at batch_size 2 -> one full batch + a tail batch of 1
+    r = _run(["dhd_tpu.cli.test", "--preset", "dhd_tiny",
+              "--ann-file", pkl, "--limit", "3", "--batch-size", "2",
+              "--eval", "ray-iou"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "evaluated 3 samples" in r.stdout
+    # origins follow evaluation order exactly, starting at sample 0
+    assert "rayiou-samples: tok0 tok1 tok2" in r.stdout

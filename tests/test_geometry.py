@@ -103,3 +103,90 @@ def test_mlp_input_layout():
     # flattened sensor2ego rows: identity pattern
     np.testing.assert_allclose(
         out[0, 0, 15:], np.eye(4, dtype=np.float32)[:3].ravel())
+
+
+def _pose(yaw, t):
+    m = np.eye(4)
+    m[0, 0] = np.cos(yaw)
+    m[0, 1] = -np.sin(yaw)
+    m[1, 0] = np.sin(yaw)
+    m[1, 1] = np.cos(yaw)
+    m[:3, 3] = t
+    return m
+
+
+def test_rigid_relative_survives_large_translations():
+    """Regression for the fp64-geometry gap (VERDICT r1 #4): with realistic
+    O(1000 m) nuScenes ego2global translations, naive fp32 inv(A) @ B loses
+    >1e-4 m to cancellation; the SE3 relative composition must not."""
+    from dhd_tpu.geometry import rigid_inverse, rigid_relative
+    rng = np.random.default_rng(3)
+    errs_naive, errs_stable = [], []
+    for _ in range(10):
+        t0 = rng.uniform(-3000, 3000, 3)
+        t0[2] = rng.uniform(-2, 2)
+        a64 = _pose(rng.uniform(0, 2 * np.pi), t0)
+        # adjacent frame: ~0.5 m of ego motion, small yaw change
+        b64 = _pose(rng.uniform(0, 2 * np.pi),
+                    t0 + rng.uniform(-0.6, 0.6, 3))
+
+        a32 = jnp.asarray(a64, jnp.float32)
+        b32 = jnp.asarray(b64, jnp.float32)
+        # ground truth: float64 on the same fp32-quantized inputs, isolating
+        # *computation* error from the irreducible input quantization
+        want = np.linalg.inv(np.asarray(a32, np.float64)) @ \
+            np.asarray(b32, np.float64)
+        naive = np.asarray(
+            jnp.matmul(jnp.linalg.inv(a32), b32))
+        stable = np.asarray(rigid_relative(a32, b32))
+        errs_naive.append(np.abs(naive[:3, 3] - want[:3, 3]).max())
+        errs_stable.append(np.abs(stable[:3, 3] - want[:3, 3]).max())
+
+        inv_stable = np.asarray(rigid_inverse(a32))
+        np.testing.assert_allclose(inv_stable @ np.asarray(a32),
+                                   np.eye(4), atol=2e-3)
+    # the naive path demonstrably fails at this scale ...
+    assert max(errs_naive) > 1e-4, errs_naive
+    # ... while the stable path stays at the ulp of the *relative* motion
+    assert max(errs_stable) < 1e-5, errs_stable
+
+
+def test_stereo_prepare_inputs_prefers_host_fp64(dhd_tiny_stereo_cfg=None):
+    """The pipeline ships float64-composed sensor2keyego/curr2adjsensor;
+    _prepare_inputs must use them verbatim and the in-jit fallback must agree
+    to fp32 accuracy even with large global translations."""
+    from dhd_tpu.config import get_config
+    from dhd_tpu.models.dhd_stereo import DHDStereoNet
+
+    cfg = get_config("dhd_tiny_stereo")
+    net = DHDStereoNet(cfg)
+    rng = np.random.default_rng(0)
+    b, f, n = 1, cfg.num_frames, cfg.num_cams
+    s2e = np.stack([[[_pose(rng.uniform(0, 6.28), rng.uniform(-2, 2, 3))
+                      for _ in range(n)] for _ in range(f)]])
+    base = rng.uniform(-3000, 3000, 3)
+    base[2] = 0.0
+    e2g = np.stack([[[_pose(0.3 * fi, base + [0.5 * fi, 0, 0])
+                      for _ in range(n)] for fi in range(f)]])
+    batch = {"sensor2ego": s2e.astype(np.float32),
+             "ego2global": e2g.astype(np.float32)}
+
+    # host-side fp64 (what the pipeline computes)
+    g2k = np.linalg.inv(e2g[:, 0, 0])[:, None, None]
+    s2k_64 = (g2k @ e2g @ s2e).astype(np.float32)
+    c2g = e2g @ s2e
+    c2a_64 = (np.linalg.inv(c2g[:, 1:]) @ c2g[:, :-1]).astype(np.float32)
+
+    # fallback (raw poses only) must agree with fp64 to ~1e-5 m
+    s2k_fb, c2a_fb = net._prepare_inputs(
+        {k: jnp.asarray(v) for k, v in batch.items()})
+    np.testing.assert_allclose(np.asarray(s2k_fb), s2k_64, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(c2a_fb), c2a_64, atol=3e-5)
+
+    # precomputed keys are used verbatim
+    batch["sensor2keyego"] = s2k_64
+    batch["curr2adjsensor"] = c2a_64
+    s2k_pc, c2a_pc = net._prepare_inputs(
+        {k: jnp.asarray(v) for k, v in batch.items()})
+    np.testing.assert_array_equal(np.asarray(s2k_pc), s2k_64)
+    np.testing.assert_array_equal(np.asarray(c2a_pc), c2a_64)

@@ -65,11 +65,12 @@ def test_band_masks_partition():
 
 
 def test_collapse_z_order():
-    x = jnp.arange(2 * 3 * 2 * 2 * 4).reshape(2, 3, 2, 2, 4).astype(jnp.float32)
+    # z-minor input (B, Dy, Dx, Dz, C); collapsed channels are z-major
+    x = jnp.arange(2 * 2 * 2 * 3 * 4).reshape(2, 2, 2, 3, 4).astype(jnp.float32)
     y = collapse_z(x)
     assert y.shape == (2, 2, 2, 12)
     # z-major: first 4 channels are z=0's channels
     np.testing.assert_array_equal(np.asarray(y[0, 0, 0, :4]),
                                   np.asarray(x[0, 0, 0, 0]))
     np.testing.assert_array_equal(np.asarray(y[0, 0, 0, 4:8]),
-                                  np.asarray(x[0, 1, 0, 0]))
+                                  np.asarray(x[0, 0, 0, 1]))

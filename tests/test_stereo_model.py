@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full temporal/stereo forwards: ~6 min on CPU
+
 from dhd_tpu.config import get_config
 from dhd_tpu.data import synthetic_batch
 from dhd_tpu.models import DHDStereoNet, build_model, uncollapse_z, collapse_z
@@ -162,7 +164,8 @@ def test_tiny_swin_stereo_assembly():
 
 
 def test_uncollapse_inverts_collapse():
+    # z-minor layout: (B, Dy, Dx, Dz, C)
     x = jnp.asarray(np.random.default_rng(0).normal(
-        0, 1, (2, 4, 6, 6, 3)).astype(np.float32))
+        0, 1, (2, 6, 6, 4, 3)).astype(np.float32))
     np.testing.assert_array_equal(
         np.asarray(uncollapse_z(collapse_z(x), 4)), np.asarray(x))

@@ -104,7 +104,28 @@ def test_mghs_pool_matches_dense_reference():
                          jnp.asarray(band_mask), idx, vt)
     ref_bev, ref_vox = _dense_reference(depth, feat, coords, band_mask, vt)
     np.testing.assert_allclose(np.asarray(bev), ref_bev, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(vox), ref_vox, atol=1e-4)
+    # vox comes out z-minor: (B, Dy, Dx, Dz, C)
+    np.testing.assert_allclose(np.asarray(vox),
+                               np.transpose(ref_vox, (0, 2, 3, 1, 4)),
+                               atol=1e-4)
+
+
+def test_mghs_pool_pallas_matches_xla():
+    """The Pallas inference path (single sort + fused dual kernel) must be
+    numerically identical to the XLA segment-sum path."""
+    vt = _tiny_vt()
+    depth, feat, coords, band_mask = _random_inputs(vt, seed=5)
+    idx = compute_pool_indices(jnp.asarray(coords), vt)
+    bev_x, vox_x = mghs_pool(jnp.asarray(depth), jnp.asarray(feat),
+                             jnp.asarray(band_mask), idx, vt)
+    from dhd_tpu.ops import mghs_pool_pallas
+    bev_p, vox_p = mghs_pool_pallas(
+        jnp.asarray(depth), jnp.asarray(feat), jnp.asarray(band_mask),
+        idx, vt, interpret=jax.default_backend() != "tpu")
+    np.testing.assert_allclose(np.asarray(bev_p), np.asarray(bev_x),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(vox_p), np.asarray(vox_x),
+                               atol=1e-3)
 
 
 def test_mghs_pool_grads_flow():
