@@ -365,7 +365,8 @@ def torch_to_params(state_dict: Dict[str, np.ndarray], cfg: ModelConfig
         used.add(key)
         return sd[key]
 
-    for tp, fp, kind in build_rules(cfg):
+    for tp, fp, kind in (rules if rules is not None
+                         else build_rules(cfg)):
         if kind == BN:
             if f"{tp}.weight" not in sd:
                 continue
@@ -450,9 +451,12 @@ def load_torch_checkpoint(path: str, cfg: ModelConfig) -> Dict[str, Any]:
     return torch_to_params(sd, cfg)
 
 
-def params_to_torch(variables: Dict[str, Any], cfg: ModelConfig
+def params_to_torch(variables: Dict[str, Any], cfg: Optional[ModelConfig],
+                    rules: Optional[List[Rule]] = None
                     ) -> Dict[str, np.ndarray]:
-    """Inverse mapping (for round-trip tests and torch export)."""
+    """Inverse mapping (for round-trip tests, torch export, and the
+    activation-parity oracle).  ``rules`` overrides the full-model table —
+    per-module oracles pass the module's own rule subset."""
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     sd: Dict[str, np.ndarray] = {}
@@ -465,7 +469,8 @@ def params_to_torch(variables: Dict[str, Any], cfg: ModelConfig
             node = node[p]
         return True
 
-    for tp, fp, kind in build_rules(cfg):
+    for tp, fp, kind in (rules if rules is not None
+                         else build_rules(cfg)):
         if kind == BN:
             if not has(params, fp):
                 continue

@@ -29,6 +29,9 @@ class OccHead(nn.Module):
             else self.num_classes * self.Dz
         x = nn.Conv(out_ch, (3, 3), padding=1, dtype=self.dtype,
                     name="final_conv")(x)
+        # mmcv ConvModule defaults to act_cfg=ReLU (no norm), so the
+        # reference's final_conv is conv + ReLU (occ_head.py:52-60)
+        x = nn.relu(x)
         # reference permutes (B, C, Dy, Dx) -> (B, Dx, Dy, C)
         # (occ_head.py:93); channels-last equivalent: swap the spatial axes.
         x = jnp.swapaxes(x, 1, 2)
