@@ -108,13 +108,28 @@ def main():
                           batch, train=False)
         return jnp.argmax(out["occ_logits"], axis=-1).astype(jnp.uint8)
 
+    # sharded eval (the multi_gpu_test equivalent, tools/test.py:263-268):
+    # batches whose size divides the device count are sharded over a data
+    # mesh — GSPMD splits the forward, confusion matrices are added on host
+    from dhd_tpu.parallel import make_mesh
+    from dhd_tpu.parallel.mesh import batch_sharding
+    n_dev = jax.device_count()
+    mesh = make_mesh() if n_dev > 1 else None
+
+    def put(jbatch):
+        bs = jbatch["imgs"].shape[0]
+        if mesh is None or bs % n_dev:
+            return jbatch
+        sh = batch_sharding(mesh)
+        return {k: jax.device_put(v, sh) for k, v in jbatch.items()}
+
     metric = MIoUMetric()
     preds_list, gts_list, token_idx = [], [], []
     n_eval = 0
     for idxs, batch in it:
         n_eval += len(idxs)
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
-        occ = np.asarray(eval_step(jbatch))
+        occ = np.asarray(eval_step(put(jbatch)))
         metric.add_batch(occ, batch["voxel_semantics"],
                          batch["mask_camera"])
         if args.eval == "ray-iou":

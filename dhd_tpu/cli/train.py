@@ -67,29 +67,40 @@ def main():
     from dhd_tpu.train import (
         create_train_state, make_optimizer, make_train_step)
 
+    from dhd_tpu.parallel.mesh import (initialize_distributed,
+                                       process_batch_slice)
+    multi_host = initialize_distributed()
     cfg = get_config(args.preset)
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     model = build_model(cfg, dtype=dtype)
-    n_dev = jax.device_count()
+    n_dev = jax.device_count()                    # global devices
+    n_proc = jax.process_count()
+    if multi_host:
+        print(f"multi-host: process {jax.process_index()}/{n_proc}, "
+              f"{n_dev} global devices", flush=True)
     per_gpu = {"dhd_s": 4, "dhd_m": 3, "dhd_l": 2}.get(cfg.name, 1)
-    batch_size = args.batch_size or per_gpu * n_dev
+    batch_size = args.batch_size or per_gpu * n_dev    # GLOBAL batch
     epochs = args.epochs or cfg.optim.max_epochs
     # the batch axis must divide the mesh: use the largest divisor
     mesh_devices = n_dev
-    while batch_size % mesh_devices:
+    while batch_size % mesh_devices or mesh_devices % n_proc:
         mesh_devices -= 1
     if mesh_devices != n_dev:
         print(f"batch {batch_size} not divisible by {n_dev} devices; "
               f"using a {mesh_devices}-device mesh", flush=True)
-    mesh = make_mesh(mesh_devices)
+    mesh = make_mesh(None if mesh_devices == n_dev else mesh_devices)
+    assert batch_size % n_proc == 0, (batch_size, n_proc)
+    local_bs = batch_size // n_proc               # rows this process loads
 
     if args.synthetic or args.ann_file is None:
         n_samples = batch_size * 4
 
         def epoch_batches():
             for i in range(0, n_samples, batch_size):
-                yield synthetic_batch(cfg, batch_size=batch_size,
-                                      seed=args.seed + i)
+                b = synthetic_batch(cfg, batch_size=batch_size,
+                                    seed=args.seed + i)
+                sl = process_batch_slice(batch_size)
+                yield {k: v[sl] for k, v in b.items()}
         steps_per_epoch = n_samples // batch_size
     else:
         from dhd_tpu.data.loader import PrefetchLoader
@@ -100,8 +111,9 @@ def main():
                                 stereo=cfg.stereo)
         pipe = SamplePipeline(cfg, is_train=True, data_root=args.data_root,
                               seed=args.seed)
-        loader = PrefetchLoader(ds, pipe, batch_size, shuffle=True,
-                                num_workers=8, prefetch=3, seed=args.seed)
+        loader = PrefetchLoader(ds, pipe, local_bs, shuffle=True,
+                                num_workers=8, prefetch=3, seed=args.seed,
+                                shard=(jax.process_index(), n_proc))
         steps_per_epoch = len(loader)
 
         def epoch_batches():

@@ -33,7 +33,8 @@ class PrefetchLoader:
 
     def __init__(self, dataset, pipeline: Callable, batch_size: int,
                  shuffle: bool = True, num_workers: int = 4,
-                 prefetch: int = 2, seed: int = 0, drop_last: bool = True):
+                 prefetch: int = 2, seed: int = 0, drop_last: bool = True,
+                 shard: tuple = (0, 1)):
         self.dataset = dataset
         self.pipeline = pipeline
         self.batch_size = batch_size
@@ -42,10 +43,16 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        # (process_index, process_count): multi-host data parallelism — all
+        # processes draw the same seeded permutation and each takes a
+        # disjoint strided subset (the DistributedSampler equivalent;
+        # batch_size here is the LOCAL per-process batch).
+        self.shard = shard
 
     def __len__(self) -> int:
-        n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
+        n_local = len(self.dataset) // self.shard[1]
+        n = n_local // self.batch_size
+        if not self.drop_last and n_local % self.batch_size:
             n += 1
         return n
 
@@ -56,6 +63,9 @@ class PrefetchLoader:
     def __iter__(self) -> Iterator[dict]:
         order = (self.rng.permutation(len(self.dataset)) if self.shuffle
                  else np.arange(len(self.dataset)))
+        rank, world = self.shard
+        if world > 1:
+            order = order[rank::world]
         chunks = [order[i * self.batch_size:(i + 1) * self.batch_size]
                   for i in range(len(self))]
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:

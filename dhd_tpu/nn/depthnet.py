@@ -21,6 +21,42 @@ from .layers import ASPP, BasicBlock, BatchNorm, Mlp, SELayer
 Dtype = Any
 
 
+def _bilinear_sample_matmul(img: jnp.ndarray, py: jnp.ndarray,
+                            px: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample as a one-hot interpolation matmul (MXU path).
+
+    XLA's row gather runs the deformable conv at ~3.5 ms on a v5e at DHD-S
+    scale; building the (HW*K, HW) interpolation matrix with compares and
+    contracting it on the MXU is ~10x faster for the small feature maps the
+    DCN sees (fH*fW = 704 for DHD-S/M).  Memory is O(HW^2 * K), so the
+    caller gates this on HW.
+
+    img: (B, H, W, C); py/px: (B, H, W, K) -> (B, H, W, K, C).
+    """
+    b, h, w, c = img.shape
+    k = py.shape[-1]
+    hw = h * w
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx = px - x0
+    wy = py - y0
+    pos = jnp.arange(hw, dtype=jnp.int32)
+    m = jnp.zeros((b, hw * k, hw), img.dtype)
+    for dy_, dx_, wgt in ((0, 0, (1 - wy) * (1 - wx)),
+                          (0, 1, (1 - wy) * wx),
+                          (1, 0, wy * (1 - wx)),
+                          (1, 1, wy * wx)):
+        yi = y0.astype(jnp.int32) + dy_
+        xi = x0.astype(jnp.int32) + dx_
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        lin = (jnp.clip(yi, 0, h - 1) * w
+               + jnp.clip(xi, 0, w - 1)).reshape(b, hw * k)
+        ww = jnp.where(valid, wgt, 0.0).reshape(b, hw * k).astype(img.dtype)
+        m = m + ww[..., None] * (lin[..., None] == pos).astype(img.dtype)
+    out = jnp.einsum("bpq,bqc->bpc", m, img.reshape(b, hw, c))
+    return out.reshape(b, h, w, k, c)
+
+
 def _bilinear_sample_abs(img: jnp.ndarray, py: jnp.ndarray, px: jnp.ndarray
                          ) -> jnp.ndarray:
     """Bilinear sample at absolute pixel coords, zero outside.
@@ -76,7 +112,12 @@ class DeformConv(nn.Module):
         kx = jnp.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], off.dtype)
         py = gy + ky[None, None, None, :] + off[..., 0]
         px = gx + kx[None, None, None, :] + off[..., 1]
-        sampled = _bilinear_sample_abs(x, py, px)  # (B, H, W, 9, Cin)
+        # (B, H, W, 9, Cin); MXU one-hot-matmul path for the small feature
+        # maps the DCN sees, gather fallback for big ones
+        if h * w <= 1024:
+            sampled = _bilinear_sample_matmul(x, py, px)
+        else:
+            sampled = _bilinear_sample_abs(x, py, px)
         g = self.groups
         cg = cin // g
         og = self.features // g

@@ -1,3 +1,15 @@
-from .mesh import batch_sharding, make_mesh, replicated_sharding
+from .mesh import (
+    batch_sharding,
+    initialize_distributed,
+    make_mesh,
+    process_batch_slice,
+    replicated_sharding,
+)
 
-__all__ = ["batch_sharding", "make_mesh", "replicated_sharding"]
+__all__ = [
+    "batch_sharding",
+    "initialize_distributed",
+    "make_mesh",
+    "process_batch_slice",
+    "replicated_sharding",
+]
