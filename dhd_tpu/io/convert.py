@@ -350,11 +350,13 @@ def _get(tree: dict, path: Tuple[str, ...], key: str) -> np.ndarray:
     return node[key]
 
 
-def torch_to_params(state_dict: Dict[str, np.ndarray], cfg: ModelConfig
-                    ) -> Dict[str, Any]:
+def torch_to_params(state_dict: Dict[str, np.ndarray],
+                    cfg: Optional[ModelConfig],
+                    rules: Optional[List[Rule]] = None) -> Dict[str, Any]:
     """torch state_dict (numpy-valued) -> {'params': ..., 'batch_stats': ...}.
 
     Unmatched torch keys are collected under '_unmapped' for inspection.
+    ``rules`` overrides the full-model table (per-module conversions).
     """
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     params: dict = {}

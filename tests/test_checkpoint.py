@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dhd_tpu.config import get_config
 from dhd_tpu.data import synthetic_batch
@@ -10,6 +11,7 @@ from dhd_tpu.models import build_model
 from dhd_tpu.train import create_train_state, make_optimizer
 
 
+@pytest.mark.slow
 def test_train_state_roundtrip(tmp_path):
     cfg = get_config("dhd_tiny")
     model = build_model(cfg)

@@ -23,6 +23,7 @@ def _flat(tree, prefix=()):
 
 
 @pytest.mark.parametrize("preset", ["dhd_s"])
+@pytest.mark.slow
 def test_roundtrip_exact(preset):
     cfg = get_config(preset)
     model = build_model(cfg)
@@ -95,6 +96,7 @@ def test_roundtrip_structural_temporal(preset):
             assert key in sd, key
 
 
+@pytest.mark.slow
 def test_torch_keys_match_reference_naming():
     cfg = get_config("dhd_s")
     model = build_model(cfg)

@@ -12,6 +12,7 @@ def test_has_8_devices():
     assert jax.device_count() >= 8
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     __graft_entry__.dryrun_multichip(8)
 

@@ -68,6 +68,7 @@ def test_swin_stage0_only():
     assert f.shape == (1, 8, 12, 16)
 
 
+@pytest.mark.slow
 def test_swin_grads_finite():
     model = _small_swin(return_stereo_feat=False)
     x = jnp.asarray(np.random.default_rng(0).normal(

@@ -41,6 +41,7 @@ def test_vis_bev_projection():
     np.testing.assert_allclose(rgb[0, 0], PALETTE[17])
 
 
+@pytest.mark.slow
 def test_export_roundtrip(tmp_path):
     from jax import export as jexport
     from dhd_tpu.config import get_config

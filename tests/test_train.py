@@ -22,6 +22,7 @@ def setup():
     return cfg, model, batch, state
 
 
+@pytest.mark.slow
 def test_train_step_runs_and_improves(setup):
     cfg, model, batch, state = setup
     step = make_train_step(cfg, donate=False)
@@ -38,6 +39,7 @@ def test_train_step_runs_and_improves(setup):
     assert int(state.ema.updates) == cfg.optim.ema_init_updates + 6
 
 
+@pytest.mark.slow
 def test_loss_components_present(setup):
     cfg, model, batch, state = setup
     step = make_train_step(cfg, donate=False)
