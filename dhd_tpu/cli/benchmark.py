@@ -35,7 +35,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="dhd_s")
     p.add_argument("--what", default="full",
-                   choices=["full", "stages", "flops", "train", "pool"])
+                   choices=["full", "stream", "stages", "flops", "train",
+                            "pool"])
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--fp32", dest="bf16", action="store_false")
@@ -58,6 +59,56 @@ def main():
     cfg = get_config(args.preset)
     dt = jnp.bfloat16 if args.bf16 else jnp.float32
     model = build_model(cfg, dtype=dt)
+
+    if args.what == "stream":
+        # temporal serving: the streaming cache mode (the reference's
+        # benchmark_sequential.py — prev-frame features cached, only the
+        # key frame recomputed each step).  Much smaller program than the
+        # full F-frame forward, and the honest deployment configuration.
+        if not cfg.temporal:
+            raise SystemExit("--what stream needs a temporal preset")
+        tb = {k: jnp.asarray(v)
+              for k, v in synthetic_batch(cfg, args.batch_size,
+                                          with_gt=False).items()}
+        sbatch = {"imgs": tb["imgs"][:, 0],
+                  "sensor2ego": tb["sensor2ego"][:, 0],
+                  "ego2global": tb["ego2global"][:, 0],
+                  "intrins": tb["intrins"][:, 0],
+                  "post_rots": tb["post_rots"][:, 0],
+                  "post_trans": tb["post_trans"][:, 0],
+                  "bda": tb["bda"]}
+        variables = jax.jit(lambda rng, b: model.init(
+            rng, b, train=False, cache={}))(jax.random.PRNGKey(0), sbatch)
+        _ = float(jnp.sum(jax.tree.leaves(variables)[0]
+                          .astype(jnp.float32)))
+        # one bootstrap step to get a steady-state cache structure
+        _, cache = jax.jit(lambda v, b: model.apply(
+            v, b, train=False, cache={}))(variables, sbatch)
+
+        @jax.jit
+        def step(c, batch, cache, variables):
+            # variables ride as jit arguments: closure constants would be
+            # inlined into the remote-compile payload and exceed the device
+            # tunnel's request limit for the larger presets
+            b = dict(batch)
+            b["imgs"] = batch["imgs"] + c.astype(batch["imgs"].dtype)
+            out, new_cache = model.apply(variables, b, train=False,
+                                         cache=cache)
+            return (jnp.tanh(jnp.mean(out["occ_logits"].astype(
+                jnp.float32))) * 1e-6, new_cache)
+
+        c = jnp.zeros((), jnp.float32)
+        c, cache = step(c, sbatch, cache, variables)
+        _ = float(c)                       # force compile + completion
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            c, cache = step(c, sbatch, cache, variables)
+        _ = float(c)
+        dt_s = (time.perf_counter() - t0) / args.iters
+        print(f"{args.preset} streaming inference: {dt_s * 1e3:.2f} "
+              f"ms/iter = {args.batch_size / dt_s:.1f} samples/s")
+        return
+
     batch = {k: jnp.asarray(v)
              for k, v in synthetic_batch(cfg, args.batch_size,
                                          with_gt=False).items()}
@@ -68,7 +119,8 @@ def main():
 
     def full_step_factory():
         @jax.jit
-        def step(c, batch):
+        def step(c, batch, variables):
+            # variables as jit args, not closure constants (tunnel payload)
             b = dict(batch)
             b["imgs"] = batch["imgs"] + c.astype(batch["imgs"].dtype)
             out = model.apply(variables, b, train=False)["occ_logits"]
@@ -161,7 +213,8 @@ def main():
         return
 
     if args.what == "full":
-        dt_s = chained_time(full_step_factory(), args.iters, batch)
+        dt_s = chained_time(full_step_factory(), args.iters, batch,
+                            variables)
         fps = args.batch_size / dt_s
         print(f"{args.preset} end-to-end: {dt_s * 1e3:.2f} ms/iter "
               f"= {fps:.1f} samples/s")
@@ -206,12 +259,12 @@ def main():
         ap = apply or (lambda v, *x: mod.apply(v, *x))
 
         @jax.jit
-        def step(c):
+        def step(c, v):
             xs = (x[0] + c.astype(x[0].dtype),) + tuple(x[1:])
             out = ap(v, *xs)
             leaf = jax.tree.leaves(out)[0]
             return jnp.tanh(jnp.mean(leaf.astype(jnp.float32))) * 1e-6
-        print(f"{name}: {chained_time(step, args.iters) * 1e3:.2f} ms",
+        print(f"{name}: {chained_time(step, args.iters, v) * 1e3:.2f} ms",
               flush=True)
 
     time_mod("img_encoder", ImageEncoder(cfg, dtype=dt),

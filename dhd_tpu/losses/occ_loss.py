@@ -67,6 +67,67 @@ def geo_scal_loss(logits: jnp.ndarray, labels: jnp.ndarray,
     return _neg_log(precision) + _neg_log(recall) + _neg_log(spec)
 
 
+def occ_losses_fused(logits: jnp.ndarray, labels: jnp.ndarray,
+                     mask: jnp.ndarray, class_weight: jnp.ndarray,
+                     free_class: int = 17):
+    """All three occupancy losses from ONE softmax pass.
+
+    Numerically identical to ``occ_ce_loss`` / ``geo_scal_loss`` /
+    ``sem_scal_loss`` called separately (same formulas on the same
+    ``log_softmax``), but the (N_voxels, n_cls) probability tensor is
+    materialized once instead of three times — on TPU the train step is
+    HBM-bandwidth-bound and the logits tensor is the largest activation
+    (B*200*200*16*18 fp32), so the duplicate softmax forward+backward
+    passes are pure memory traffic.
+
+    Returns (loss_ce, loss_geo, loss_sem).
+    """
+    n_cls = logits.shape[-1]
+    logits = logits.reshape(-1, n_cls).astype(jnp.float32)
+    labels = labels.reshape(-1).astype(jnp.int32)
+    mask = mask.reshape(-1).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    probs = jnp.exp(logp)
+
+    # --- CE (occ_head.py:102-139) ---
+    ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+    w = class_weight[labels] * mask
+    loss_ce = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1e-6)
+
+    # shared per-class reductions: one fused pass over probs
+    onehot = jax.nn.one_hot(labels, n_cls, dtype=jnp.float32) * mask[:, None]
+    sum_t = jnp.sum(onehot, axis=0)                       # (n_cls,)
+    sum_p = jnp.sum(probs * mask[:, None], axis=0)        # (n_cls,)
+    inter = jnp.sum(probs * onehot, axis=0)               # (n_cls,)
+    n_masked = jnp.sum(mask)
+
+    # --- geo scal (semkitti_loss.py:136-168) ---
+    # nonempty_p = 1 - probs[:, free]; its masked sums follow from the
+    # per-class reductions (Σ mask - Σ_masked p_free etc.).
+    g_inter = n_masked - sum_t[free_class] - sum_p[free_class] \
+        + inter[free_class]                     # Σ nonempty_t * nonempty_p
+    g_prec = g_inter / (n_masked - sum_p[free_class] + _EPS)
+    g_rec = g_inter / (n_masked - sum_t[free_class] + _EPS)
+    g_spec = inter[free_class] / (sum_t[free_class] + _EPS)
+    loss_geo = _neg_log(g_prec) + _neg_log(g_rec) + _neg_log(g_spec)
+
+    # --- sem scal (semkitti_loss.py:170-226) ---
+    spec_num = n_masked - sum_p - sum_t + inter
+    spec_den = n_masked - sum_t
+    precision = inter / (sum_p + _EPS)
+    recall = inter / (sum_t + _EPS)
+    spec = spec_num / (spec_den + _EPS)
+    loss_c = (jnp.where(sum_p > 0, _neg_log(precision), 0.0)
+              + jnp.where(sum_t > 0, _neg_log(recall), 0.0)
+              + jnp.where(spec_den > 0, _neg_log(spec), 0.0))
+    present = (sum_t > 0).astype(jnp.float32)
+    present = present.at[n_cls - 1].set(0.0)    # skip the free class
+    count = jnp.sum(present)
+    total = jnp.sum(loss_c * present)
+    loss_sem = jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
+    return loss_ce, loss_geo, loss_sem
+
+
 def sem_scal_loss(logits: jnp.ndarray, labels: jnp.ndarray,
                   mask: jnp.ndarray) -> jnp.ndarray:
     """Per-class precision/recall/specificity, averaged over classes present.

@@ -1,3 +1,4 @@
+from .dvr import render, render_expected_depth, render_rays
 from .voxel_pool import (
     bev_pool_v2,
     compute_pool_indices,
@@ -14,4 +15,7 @@ __all__ = [
     "mghs_pool_pallas",
     "build_pool_plan",
     "grid_sample_2d",
+    "render",
+    "render_expected_depth",
+    "render_rays",
 ]

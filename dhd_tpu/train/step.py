@@ -17,8 +17,7 @@ from flax import struct
 
 from dhd_tpu.config import ModelConfig, class_weights
 from dhd_tpu.losses import (
-    bce_distribution_loss, depth_height_labels, geo_scal_loss, occ_ce_loss,
-    sem_scal_loss)
+    bce_distribution_loss, depth_height_labels, occ_losses_fused)
 
 
 class TrainState(struct.PyTreeNode):
@@ -56,11 +55,13 @@ def total_loss(cfg: ModelConfig, out: Dict[str, jnp.ndarray],
     sem = batch["voxel_semantics"]
     mask = batch["mask_camera"]
     cw = jnp.asarray(class_weights(lc.num_classes), jnp.float32)
-    losses["loss_occ"] = lc.weight_ce * occ_ce_loss(logits, sem, mask, cw)
-    losses["loss_voxel_sem_scal"] = lc.weight_sem * sem_scal_loss(
-        logits, sem, mask)
-    losses["loss_voxel_geo_scal"] = lc.weight_geo * geo_scal_loss(
-        logits, sem, mask, free_class=lc.free_class)
+    # one softmax pass serves all three losses (HBM-bandwidth win; equal
+    # to the separate occ_ce/sem_scal/geo_scal calls — tests/test_losses.py)
+    l_ce, l_geo, l_sem = occ_losses_fused(logits, sem, mask, cw,
+                                          free_class=lc.free_class)
+    losses["loss_occ"] = lc.weight_ce * l_ce
+    losses["loss_voxel_sem_scal"] = lc.weight_sem * l_sem
+    losses["loss_voxel_geo_scal"] = lc.weight_geo * l_geo
 
     total = sum(losses.values())
     losses["loss_total"] = total

@@ -8,7 +8,8 @@ import torch.nn.functional as F
 from dhd_tpu.config import class_weights
 from dhd_tpu.losses import (
     bce_distribution_loss, depth_height_labels, downsample_min_nonzero,
-    geo_scal_loss, occ_ce_loss, sem_scal_loss, shifted_onehot_labels)
+    geo_scal_loss, occ_ce_loss, occ_losses_fused, sem_scal_loss,
+    shifted_onehot_labels)
 from dhd_tpu.config import GridConfig
 
 
@@ -80,6 +81,29 @@ def test_sem_scal_matches_oracle():
             loss += lc
     expect = loss / count
     assert np.isclose(ours, expect, rtol=1e-4)
+
+
+def test_fused_losses_match_separate():
+    """occ_losses_fused == the three separate losses, values and grads."""
+    import jax
+    logits, labels, mask = _fake_occ(seed=5)
+    w = jnp.asarray(class_weights(), jnp.float32)
+    jl, jt, jm = jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(mask)
+
+    def sep(x):
+        return (occ_ce_loss(x, jt, jm, w), geo_scal_loss(x, jt, jm, 17),
+                sem_scal_loss(x, jt, jm))
+
+    def fus(x):
+        return occ_losses_fused(x, jt, jm, w, free_class=17)
+
+    vs, vf = sep(jl), fus(jl)
+    for a, b in zip(vs, vf):
+        assert np.isclose(float(a), float(b), rtol=1e-5)
+    gs = jax.grad(lambda x: sum(sep(x)))(jl)
+    gf = jax.grad(lambda x: sum(fus(x)))(jl)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gf),
+                               rtol=1e-4, atol=1e-6)
 
 
 def test_downsample_min_nonzero():
