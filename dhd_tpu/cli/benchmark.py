@@ -109,6 +109,31 @@ def main():
               f"ms/iter = {args.batch_size / dt_s:.1f} samples/s")
         return
 
+    if args.what == "train":
+        # the whole-model train benchmark: no eval-mode param copy (it
+        # would sit in HBM for the entire run), donated state so params/
+        # opt/EMA update in place — what cli/train.py actually does.
+        from dhd_tpu.train import (
+            create_train_state, make_optimizer, make_train_step)
+        tbatch = {k: jnp.asarray(v)
+                  for k, v in synthetic_batch(cfg, args.batch_size,
+                                              with_gt=True).items()}
+        tx = make_optimizer(cfg.optim, steps_per_epoch=1000)
+        state = create_train_state(model, cfg, jax.random.PRNGKey(0),
+                                   tbatch, tx)
+        step_fn = make_train_step(cfg, donate=True)
+        rng = jax.random.PRNGKey(1)
+        state, m = step_fn(state, tbatch, rng)
+        _ = float(m["loss_total"])                 # force compile + run
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            state, m = step_fn(state, tbatch, jax.random.fold_in(rng, i))
+        _ = float(m["loss_total"])                 # chained via state
+        dt_s = (time.perf_counter() - t0) / args.iters
+        print(f"{args.preset} train step: {dt_s * 1e3:.2f} ms/iter = "
+              f"{args.batch_size / dt_s:.2f} samples/s")
+        return
+
     batch = {k: jnp.asarray(v)
              for k, v in synthetic_batch(cfg, args.batch_size,
                                          with_gt=False).items()}
@@ -218,28 +243,6 @@ def main():
         fps = args.batch_size / dt_s
         print(f"{args.preset} end-to-end: {dt_s * 1e3:.2f} ms/iter "
               f"= {fps:.1f} samples/s")
-        return
-
-    if args.what == "train":
-        from dhd_tpu.train import (
-            create_train_state, make_optimizer, make_train_step)
-        tbatch = {k: jnp.asarray(v)
-                  for k, v in synthetic_batch(cfg, args.batch_size,
-                                              with_gt=True).items()}
-        tx = make_optimizer(cfg.optim, steps_per_epoch=1000)
-        state = create_train_state(model, cfg, jax.random.PRNGKey(0),
-                                   tbatch, tx)
-        step_fn = make_train_step(cfg, donate=False)
-        rng = jax.random.PRNGKey(1)
-        state, m = step_fn(state, tbatch, rng)
-        _ = float(m["loss_total"])                 # force compile + run
-        t0 = time.perf_counter()
-        for i in range(args.iters):
-            state, m = step_fn(state, tbatch, jax.random.fold_in(rng, i))
-        _ = float(m["loss_total"])                 # chained via state
-        dt_s = (time.perf_counter() - t0) / args.iters
-        print(f"{args.preset} train step: {dt_s * 1e3:.2f} ms/iter = "
-              f"{args.batch_size / dt_s:.2f} samples/s")
         return
 
     # stages: time the full model and the model minus the view transform by

@@ -92,6 +92,7 @@ class ImageEncoder(nn.Module):
                 return_stereo_feat=stereo,
                 out_indices=cfg.backbone_out_indices
                 if not stereo else (2, 3),
+                remat=cfg.backbone_remat,
                 dtype=self.dtype, name="backbone")(
                 imgs, train, stage0_only=stage0_only)
         else:

@@ -193,6 +193,9 @@ class SwinTransformer(nn.Module):
     out_indices: Tuple[int, ...] = (2, 3)
     drop_path_rate: float = 0.1
     return_stereo_feat: bool = True
+    # rematerialize each block in the backward (reference with_cp; on TPU
+    # this is what fits DHD-L 512x1408 training into one chip's HBM)
+    remat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -210,9 +213,11 @@ class SwinTransformer(nn.Module):
         outs = []
         dim = self.embed_dims
         blk_id = 0
+        block_cls = (nn.remat(SwinBlock, static_argnums=(2, 3))
+                     if self.remat else SwinBlock)
         for i, depth in enumerate(self.depths):
             for d in range(depth):
-                x = SwinBlock(dim, self.num_heads[i], self.window_size,
+                x = block_cls(dim, self.num_heads[i], self.window_size,
                               shift=(d % 2 == 1), drop_path=dpr[blk_id],
                               dtype=self.dtype,
                               name=f"stage{i}_block{d}")(x, hw, train)

@@ -46,6 +46,15 @@ def test_test_cli_rayiou_on_fixture(tmp_path):
     assert "RayIoU@1" in r.stdout
 
 
+def test_benchmark_cli_stream_mode():
+    """--what stream (the benchmark_sequential.py equivalent): steady-state
+    streaming step of the temporal model, cache threaded between iters."""
+    r = _run(["dhd_tpu.cli.benchmark", "--preset", "dhd_tiny_stereo",
+              "--what", "stream", "--iters", "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "streaming inference" in r.stdout
+
+
 def test_test_cli_evaluates_every_sample_once(tmp_path):
     """Regression: (a) the first batch used to be consumed by the example
     peek and never scored, (b) ray-iou origins were misaligned by one batch,

@@ -34,6 +34,29 @@ def test_grid_sample_matches_torch():
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+def test_grid_sample_borders_and_sentinels():
+    """Exact border pixels, the half-open edge band, and the -2 sentinel the
+    cost volume uses for behind-camera points (block-gather clamp paths)."""
+    rng = np.random.default_rng(3)
+    h, w = 5, 7
+    x = rng.normal(0, 1, (1, h, w, 3)).astype(np.float32)
+    # pixel-space targets incl. corners, edges, just-outside, far-outside
+    pts = np.array([[0, 0], [w - 1, 0], [0, h - 1], [w - 1, h - 1],
+                    [w - 1.5, h - 1.5], [-0.5, 2], [w - 0.5, 2],
+                    [2, -0.5], [2, h - 0.5], [-40, -40], [200, 2],
+                    [3.25, 1.75]], np.float32)
+    gx = pts[:, 0] / (w - 1) * 2 - 1
+    gy = pts[:, 1] / (h - 1) * 2 - 1
+    grid = np.stack([gx, gy], -1).reshape(1, 1, -1, 2).astype(np.float32)
+    grid = np.concatenate([grid, np.full_like(grid, -2.0)], axis=1)
+    ours = np.asarray(grid_sample_2d(jnp.asarray(x), jnp.asarray(grid)))
+    ref = F.grid_sample(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                        torch.from_numpy(grid), align_corners=True,
+                        padding_mode="zeros")
+    np.testing.assert_allclose(ours, ref.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-5)
+
+
 def test_max_pool2_matches_torch():
     rng = np.random.default_rng(2)
     x = rng.normal(0, 1, (1, 8, 8, 3)).astype(np.float32)

@@ -68,6 +68,26 @@ def test_swin_stage0_only():
     assert f.shape == (1, 8, 12, 16)
 
 
+def test_swin_remat_matches_plain():
+    """remat=True is a pure memory/compute trade: same outputs + grads."""
+    m0 = _small_swin(return_stereo_feat=False)
+    m1 = _small_swin(return_stereo_feat=False, remat=True)
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        0, 1, (1, 16, 16, 3)).astype(np.float32))
+    variables = m0.init(jax.random.PRNGKey(0), x)
+
+    def loss(m, v):
+        return sum(jnp.sum(o ** 2) for o in m.apply(v, x))
+
+    np.testing.assert_allclose(float(loss(m0, variables)),
+                               float(loss(m1, variables)), rtol=1e-6)
+    g0 = jax.grad(lambda v: loss(m0, v))(variables)
+    g1 = jax.grad(lambda v: loss(m1, v))(variables)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_swin_grads_finite():
     model = _small_swin(return_stereo_feat=False)
