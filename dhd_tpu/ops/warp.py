@@ -81,7 +81,7 @@ def grid_sample_2d(img: jnp.ndarray, grid: jnp.ndarray,
             + jnp.where((t == -1) & val1, w1, 0.0)
         a1 = jnp.where((t == 1) & val0, w0, 0.0) \
             + jnp.where((t == 0) & val1, w1, 0.0)
-        return a0.astype(img.dtype), a1.astype(img.dtype)
+        return a0.astype(blk.dtype), a1.astype(blk.dtype)
 
     ax0, ax1 = axis_weights(x0i, wx, w)
     ay0, ay1 = axis_weights(y0i, wy, h)
