@@ -167,6 +167,11 @@ class ModelConfig:
     bev_unet_out: int = 512              # UNet BEV encoder output (DHD-M)
     # voxel (slab) encoders: UNet output channels per band
     voxel_encoder_out: Tuple[int, int, int] = (64, 128, 64)
+    # first rung of every UNet's channel ladder (base..base*16).  The
+    # reference hardcodes 64 (models/backbones/unet.py); tiny/micro test
+    # presets shrink it — at 64 the three slab UNets alone hold ~1.1 GB of
+    # fp32 params, which swamps any small-shape CPU run.
+    unet_base: int = 64
     # pre-process nets (DHD-M/L only)
     pre_process: bool = False
     # fusion + head
@@ -274,7 +279,49 @@ def dhd_tiny_stereo() -> ModelConfig:
         vt=vt,
         pre_process=True,
         voxel_encoder_out=(16, 32, 16),
+        unet_base=8,
         sfa_in_channels=192, sfa_out_channels=64,
+        loss=dataclasses.replace(LossConfig(), loss_depth_weight=0.05),
+    )
+
+
+def dhd_micro_stereo() -> ModelConfig:
+    """Minimal temporal+stereo model for the driver's multi-chip dryrun.
+
+    Exercises the full DHD-M/L protocol (3 frames, stereo cost volume,
+    stop-gradient rule, pre-process nets, slab UNets, SFA) at the smallest
+    shapes the architecture supports: the 1-CPU-core driver host executes
+    8 virtual devices' programs serially, so per-device work — not just
+    compile time — bounds the dryrun budget (MULTICHIP_r02 lesson)."""
+    vt = ViewTransformConfig(
+        input_size=(32, 96),                 # fH,fW = 2,6; stereo 8x24
+        depth=GridConfig(1.0, 9.0, 0.5),     # D=16, 0.5 m bins like M/L
+        gt_depth=GridConfig(1.0, 9.0, 0.5),
+        x=GridConfig(-6.4, 6.4, 0.4),        # 32x32 BEV grid
+        y=GridConfig(-6.4, 6.4, 0.4),
+        in_channels=16,
+        out_channels=8,
+    )
+    return ModelConfig(
+        name="dhd_micro_stereo",
+        temporal=True, num_adj_frames=1, stereo=True,
+        backbone="tiny_cnn",
+        backbone_out_indices=(0, 2, 3),
+        img_neck_in_channels=(64, 128),
+        img_neck_out_channels=16,
+        depth_net="full",
+        depthnet_cfg=DepthNetConfig(stereo=True, use_dcn=False,
+                                    aspp_mid_channels=8, bias=5.0),
+        heightnet_cfg=DepthNetConfig(use_dcn=False, aspp_mid_channels=8),
+        vt=vt,
+        pre_process=True,
+        bev_encoder_channels=(16, 32, 64),
+        bev_neck_out_channels=32,
+        voxel_encoder_out=(8, 16, 8),
+        unet_base=4,
+        sfa_in_channels=64, sfa_out_channels=32,
+        head_in_dim=32, head_out_dim=32,
+        num_cams=2,
         loss=dataclasses.replace(LossConfig(), loss_depth_weight=0.05),
     )
 
@@ -300,6 +347,7 @@ def dhd_tiny() -> ModelConfig:
         bev_encoder_channels=(32, 64, 128),
         bev_neck_out_channels=64,
         voxel_encoder_out=(16, 32, 16),
+        unet_base=8,
         sfa_in_channels=128, sfa_out_channels=64,
         head_in_dim=64, head_out_dim=64,
     )
@@ -311,6 +359,7 @@ _PRESETS = {
     "dhd_l": dhd_l,
     "dhd_tiny": dhd_tiny,
     "dhd_tiny_stereo": dhd_tiny_stereo,
+    "dhd_micro_stereo": dhd_micro_stereo,
 }
 
 

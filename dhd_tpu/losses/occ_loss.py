@@ -121,7 +121,7 @@ def occ_losses_fused(logits: jnp.ndarray, labels: jnp.ndarray,
               + jnp.where(sum_t > 0, _neg_log(recall), 0.0)
               + jnp.where(spec_den > 0, _neg_log(spec), 0.0))
     present = (sum_t > 0).astype(jnp.float32)
-    present = present.at[n_cls - 1].set(0.0)    # skip the free class
+    present = present.at[free_class].set(0.0)   # skip the free class
     count = jnp.sum(present)
     total = jnp.sum(loss_c * present)
     loss_sem = jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)

@@ -244,8 +244,8 @@ class BEVEncoder(nn.Module):
     def __call__(self, x, train: bool = False):
         cfg = self.cfg
         if cfg.bev_encoder == "unet":
-            return UNet(n_classes=cfg.bev_unet_out, dtype=self.dtype,
-                        name="backbone")(x, train)
+            return UNet(n_classes=cfg.bev_unet_out, base=cfg.unet_base,
+                        dtype=self.dtype, name="backbone")(x, train)
         feats = CustomResNet(num_channels=cfg.bev_encoder_channels,
                              dtype=self.dtype, name="backbone")(x, train)
         return FPN_LSS(out_channels=cfg.bev_neck_out_channels,
@@ -295,7 +295,8 @@ class DHDNet(nn.Module):
                  vox[..., s1 + s2:, :]]
         outs3d = []
         for i, slab in enumerate(slabs):
-            y = UNet(n_classes=cfg.voxel_encoder_out[i], dtype=self.dtype,
+            y = UNet(n_classes=cfg.voxel_encoder_out[i], base=cfg.unet_base,
+                     dtype=self.dtype,
                      name=f"voxel_encoder{i}")(collapse_z(slab), train)
             outs3d.append(y)
         x_3d = jnp.concatenate(outs3d, axis=-1)

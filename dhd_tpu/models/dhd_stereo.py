@@ -280,7 +280,8 @@ class DHDStereoNet(nn.Module):
                  vox_cat[..., s1 + s2:, :]]
         outs3d = []
         for i, slab in enumerate(slabs):
-            y = UNet(n_classes=cfg.voxel_encoder_out[i], dtype=self.dtype,
+            y = UNet(n_classes=cfg.voxel_encoder_out[i], base=cfg.unet_base,
+                     dtype=self.dtype,
                      name=f"voxel_encoder{i}")(collapse_z(slab), train)
             outs3d.append(y)
         x_3d = jnp.concatenate(outs3d, axis=-1)

@@ -56,6 +56,11 @@ def render_rays(sigma_flat: jnp.ndarray, origins: jnp.ndarray,
       gt_cap: (M,) ||endpt - origin|| capped at the last in-grid exit
         distance (the reference's gt_d capping, dvr.cu:594).
       entered: (M,) bool — ray visited >= 1 in-grid voxel (count > 0).
+      truncated: (M,) bool — ray was still traversing in-grid when the
+        ``max_steps`` scan budget ran out (its exp_d is partially
+        accumulated; raise ``max_steps`` or mask such rays).  Rays that
+        never reached the grid within the budget report
+        ``entered=False`` instead.
     """
     vz, vy, vx = zyx
     sizes = jnp.asarray([vx, vy, vz], jnp.int32)
@@ -116,14 +121,18 @@ def render_rays(sigma_flat: jnp.ndarray, origins: jnp.ndarray,
             jnp.zeros((m,), bool), jnp.zeros((m,), bool),
             jnp.zeros((m,), jnp.float32), jnp.zeros((m,), jnp.float32),
             jnp.zeros((m,), jnp.float32), jnp.zeros((m,), bool))
-    (_, _, _, _, _, csd, exp_d, max_d, entered), _ = jax.lax.scan(
+    (v_f, _, _, _, done_f, csd, exp_d, max_d, entered), _ = jax.lax.scan(
         body, init, None, length=max_steps)
+
+    # rays still walking in-grid at the budget's end were truncated
+    inside_f = jnp.all((v_f >= 0) & (v_f < sizes[None, :]), axis=-1)
+    truncated = ~done_f & inside_f
 
     # imaginary sample at the boundary (dvr.cu:590-595)
     exp_d = exp_d + jnp.exp(-csd) * max_d
     exp_d = jnp.where(entered, exp_d, 0.0)
     gt_cap = jnp.where(entered, jnp.minimum(gt_d, max_d), gt_d)
-    return exp_d, gt_cap, entered
+    return exp_d, gt_cap, entered, truncated
 
 
 def _flatten_rays(sigma, origin, points, tindex):
@@ -148,13 +157,15 @@ def render_expected_depth(sigma: jnp.ndarray, origin: jnp.ndarray,
 
     pred_dist/gt_dist are -1 for padded (tindex < 0) or never-inside rays,
     matching the reference's output init (dvr.cu:664-665).  Gradients of any
-    function of ``pred_dist`` flow to ``sigma``.
+    function of ``pred_dist`` flow to ``sigma``.  Rays whose DDA walk was
+    truncated by ``max_steps`` while still in-grid are reported invalid
+    (-1) rather than returning a partially accumulated depth.
     """
     sflat, origins, endpts, base, unpadded, zyx, (n, m) = _flatten_rays(
         sigma, origin, points, tindex)
-    exp_d, gt_cap, entered = render_rays(sflat, origins, endpts, zyx,
-                                         base, max_steps)
-    valid = unpadded & entered
+    exp_d, gt_cap, entered, truncated = render_rays(sflat, origins, endpts,
+                                                    zyx, base, max_steps)
+    valid = unpadded & entered & ~truncated
     pred = jnp.where(valid, exp_d, -1.0).reshape(n, m)
     gt = jnp.where(valid, gt_cap, -1.0).reshape(n, m)
     return pred, gt, valid.reshape(n, m)

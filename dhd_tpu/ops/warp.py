@@ -30,6 +30,10 @@ def grid_sample_2d(img: jnp.ndarray, grid: jnp.ndarray,
       (B, Ho, Wo, C)
     """
     b, h, w, c = img.shape
+    if h < 2 or w < 2:
+        raise ValueError(
+            f"grid_sample_2d needs H>=2 and W>=2 (got {h}x{w}): the "
+            "block-gather path pairs adjacent rows/columns")
     out_shape = grid.shape[:-1] + (c,)
     gx = grid[..., 0].reshape(b, -1)
     gy = grid[..., 1].reshape(b, -1)

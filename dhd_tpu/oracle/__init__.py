@@ -11,10 +11,13 @@ from .torch_ref import (  # noqa: F401
     TorchCustomFPN,
     TorchCustomResNet,
     TorchDHDS,
+    TorchDHDStereo,
+    TorchDepthNet,
     TorchFPNLSS,
     TorchHeightNet,
     TorchOccHead,
     TorchResNet50,
     TorchSFA,
+    TorchSwin,
     TorchUNet,
 )

@@ -352,6 +352,337 @@ class TorchHeightNet(nn.Module):
         return self.depth_conv(h)
 
 
+class TorchDepthNet(nn.Module):
+    """Full BEVDepth-style DepthNet with the context branch and the stereo
+    cost-volume machinery (depthnet.py:172-415): reduce conv, BatchNorm1d on
+    the 27-dim camera vector, SE-gated context + depth branches, gen_grid /
+    calculate_cost_volumn / cost_volumn_net, then the distribution trunk.
+    state_dict keys mirror the reference module names exactly."""
+
+    def __init__(self, in_ch, mid, context_ch, depth_bins, use_aspp=True,
+                 use_dcn=True, aspp_mid=-1, stereo=False, bias=0.0):
+        super().__init__()
+        self.stereo = stereo
+        self.bias = bias
+        self.depth_channels = depth_bins
+        self.reduce_conv = nn.Sequential(
+            nn.Conv2d(in_ch, mid, 3, padding=1),
+            nn.BatchNorm2d(mid), nn.ReLU(inplace=True))
+        self.bn = nn.BatchNorm1d(27)
+        self.context_mlp = _Mlp(27, mid, mid)
+        self.context_se = _SELayer(mid)
+        self.context_conv = nn.Conv2d(mid, context_ch, 1)
+        self.depth_mlp = _Mlp(27, mid, mid)
+        self.depth_se = _SELayer(mid)
+        if stereo:
+            self.cost_volumn_net = nn.Sequential(
+                nn.Conv2d(depth_bins, depth_bins, 3, 2, 1),
+                nn.BatchNorm2d(depth_bins),
+                nn.Conv2d(depth_bins, depth_bins, 3, 2, 1),
+                nn.BatchNorm2d(depth_bins))
+        self.depth_conv = _DistributionNet(
+            mid, depth_bins, use_aspp, use_dcn, aspp_mid, stereo)
+
+    def gen_grid(self, metas, B, N, D, H, W, hi, wi):
+        """Reproject the stereo frustum into the previous frame's image
+        (depthnet.py:249-308): undo post aug, pixel->cam, cam->prev cam via
+        k2s_sensor, project, re-apply post aug, normalize to [-1, 1]."""
+        frustum = metas["frustum"]                       # (D, H, W, 3)
+        pts = frustum[None, None] - metas["post_trans"].view(B, N, 1, 1, 1, 3)
+        inv_pr = torch.inverse(metas["post_rots"])
+        pts = inv_pr.view(B, N, 1, 1, 1, 3, 3).matmul(pts.unsqueeze(-1))
+        pts = torch.cat(
+            (pts[..., :2, :] * pts[..., 2:3, :], pts[..., 2:3, :]), 5)
+        rots = metas["k2s_sensor"][:, :, :3, :3]
+        trans = metas["k2s_sensor"][:, :, :3, 3]
+        combine = rots.matmul(torch.inverse(metas["intrins"]))
+        pts = combine.view(B, N, 1, 1, 1, 3, 3).matmul(pts)
+        pts = pts + trans.view(B, N, 1, 1, 1, 3, 1)
+        neg = pts[..., 2, 0] < 1e-3
+        pts = metas["intrins"].view(B, N, 1, 1, 1, 3, 3).matmul(pts)
+        uv = pts[..., :2, :] / pts[..., 2:3, :]
+        uv = metas["post_rots"][..., :2, :2].view(
+            B, N, 1, 1, 1, 2, 2).matmul(uv).squeeze(-1)
+        uv = uv + metas["post_trans"][..., :2].view(B, N, 1, 1, 1, 2)
+        px = uv[..., 0] / (wi - 1.0) * 2.0 - 1.0
+        py = uv[..., 1] / (hi - 1.0) * 2.0 - 1.0
+        px = torch.where(neg, torch.full_like(px, -2.0), px)
+        py = torch.where(neg, torch.full_like(py, -2.0), py)
+        return torch.stack([px, py], dim=-1).view(B * N, D * H, W, 2)
+
+    def calculate_cost_volumn(self, metas):
+        """Groupwise |curr - warp(prev)| matching cost, invalid-sample bias,
+        softmax over depth (depthnet.py:310-361)."""
+        prev, curr = metas["cv_feat_list"]
+        group_size = 4
+        _, c, hf, wf = curr.shape
+        hi, wi = hf * 4, wf * 4
+        B, N, _ = metas["post_trans"].shape
+        D, H, W, _ = metas["frustum"].shape
+        grid = self.gen_grid(metas, B, N, D, H, W, hi, wi).to(curr.dtype)
+        cost_volumn = 0
+        for fid in range(c // group_size):
+            prev_g = prev[:, fid * group_size:(fid + 1) * group_size]
+            wrap_prev = F.grid_sample(prev_g, grid, align_corners=True,
+                                      padding_mode="zeros")
+            curr_g = curr[:, fid * group_size:(fid + 1) * group_size]
+            diff = curr_g.unsqueeze(2) - wrap_prev.view(B * N, -1, D, H, W)
+            cost_volumn = cost_volumn + diff.abs().sum(dim=1)
+        if self.bias != 0:
+            invalid = wrap_prev[:, 0].view(B * N, D, H, W) == 0
+            cost_volumn[invalid] = cost_volumn[invalid] + self.bias
+        return torch.softmax(-cost_volumn, dim=1)
+
+    def forward(self, x, mlp_input, stereo_metas=None):
+        mlp = self.bn(mlp_input.reshape(-1, mlp_input.shape[-1]))
+        x = self.reduce_conv(x)
+        ctx_se = self.context_mlp(mlp)[..., None, None]
+        context = self.context_conv(self.context_se(x, ctx_se))
+        dep_se = self.depth_mlp(mlp)[..., None, None]
+        depth = self.depth_se(x, dep_se)
+        if stereo_metas is not None:
+            if stereo_metas["cv_feat_list"][0] is None:
+                BN, _, H, W = x.shape
+                scale = (float(stereo_metas["downsample"])
+                         / stereo_metas["cv_downsample"])
+                cost_volumn = torch.zeros(
+                    (BN, self.depth_channels, int(H * scale),
+                     int(W * scale))).to(x)
+            else:
+                with torch.no_grad():
+                    cost_volumn = self.calculate_cost_volumn(stereo_metas)
+            cost_volumn = self.cost_volumn_net(cost_volumn)
+            depth = torch.cat([depth, cost_volumn], dim=1)
+        depth = self.depth_conv(depth)
+        return torch.cat([depth, context], dim=1)
+
+
+# ---------------------------------------------------------------------------
+# Swin Transformer (mmcv flavour; models/backbones/swin.py:680-976)
+# ---------------------------------------------------------------------------
+
+
+class _FFN(nn.Module):
+    """mmcv FFN: layers = Sequential(Sequential(Linear, GELU, Drop),
+    Linear, Drop); residual added by the caller-provided identity."""
+
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.layers = nn.Sequential(
+            nn.Sequential(nn.Linear(dim, hidden), nn.GELU(), nn.Dropout(0.0)),
+            nn.Linear(hidden, dim), nn.Dropout(0.0))
+
+    def forward(self, x, identity):
+        return identity + self.layers(x)
+
+
+class _WindowMSAmm(nn.Module):
+    """mmcv WindowMSA (swin.py:244-349) with the double_step_seq relative
+    position index (:287-291) — numerically equal to the standard Swin
+    construction, and the buffer appears in checkpoints."""
+
+    def __init__(self, dim, num_heads, window_size):
+        super().__init__()
+        self.num_heads = num_heads
+        self.window_size = window_size
+        self.scale = (dim // num_heads) ** -0.5
+        self.relative_position_bias_table = nn.Parameter(
+            torch.zeros((2 * window_size - 1) ** 2, num_heads))
+        ws = window_size
+        seq1 = torch.arange(0, (2 * ws - 1) * ws, 2 * ws - 1)
+        seq2 = torch.arange(0, ws)
+        coords = (seq1[:, None] + seq2[None, :]).reshape(1, -1)
+        rel = coords + coords.T
+        rel = rel.flip(1).contiguous()
+        # derived constant — real .pth files carry it, but the converter
+        # regenerates it, so keep it out of the oracle's expected keys
+        self.register_buffer("relative_position_index", rel,
+                             persistent=False)
+        self.qkv = nn.Linear(dim, dim * 3, bias=True)
+        self.proj = nn.Linear(dim, dim)
+
+    def forward(self, x, mask=None):
+        b, n, c = x.shape
+        h = self.num_heads
+        qkv = self.qkv(x).reshape(b, n, 3, h, c // h).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        q = q * self.scale
+        attn = q @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[
+            self.relative_position_index.view(-1)].view(n, n, -1)
+        attn = attn + bias.permute(2, 0, 1).unsqueeze(0)
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.view(b // nw, nw, h, n, n) + \
+                mask.unsqueeze(1).unsqueeze(0)
+            attn = attn.view(-1, h, n, n)
+        attn = torch.softmax(attn, dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(b, n, c)
+        return self.proj(x)
+
+
+class _ShiftWindowMSA(nn.Module):
+    """mmcv ShiftWindowMSA (swin.py:353-513): pad to window multiples, roll
+    for SW-MSA, per-window attention with the {0, -100} mask."""
+
+    def __init__(self, dim, num_heads, window_size, shift):
+        super().__init__()
+        self.window_size = window_size
+        self.shift_size = window_size // 2 if shift else 0
+        self.w_msa = _WindowMSAmm(dim, num_heads, window_size)
+
+    def forward(self, x, hw):
+        h, w = hw
+        b, l, c = x.shape
+        ws = self.window_size
+        x = x.reshape(b, h, w, c)
+        pad_r = (ws - w % ws) % ws
+        pad_b = (ws - h % ws) % ws
+        x = F.pad(x, (0, 0, 0, pad_r, 0, pad_b))
+        hp, wp = h + pad_b, w + pad_r
+        mask = None
+        if self.shift_size > 0:
+            x = torch.roll(x, (-self.shift_size, -self.shift_size), (1, 2))
+            img = torch.zeros((1, hp, wp, 1))
+            cnt = 0
+            for hs in (slice(0, -ws), slice(-ws, -self.shift_size),
+                       slice(-self.shift_size, None)):
+                for wcs in (slice(0, -ws), slice(-ws, -self.shift_size),
+                            slice(-self.shift_size, None)):
+                    img[:, hs, wcs, :] = cnt
+                    cnt += 1
+            mw = self._partition(img).reshape(-1, ws * ws)
+            mask = mw.unsqueeze(1) - mw.unsqueeze(2)
+            mask = mask.masked_fill(mask != 0, -100.0).masked_fill(
+                mask == 0, 0.0)
+        wins = self._partition(x).reshape(-1, ws * ws, c)
+        wins = self.w_msa(wins, mask)
+        wins = wins.reshape(-1, ws, ws, c)
+        x = self._reverse(wins, hp, wp)
+        if self.shift_size > 0:
+            x = torch.roll(x, (self.shift_size, self.shift_size), (1, 2))
+        return x[:, :h, :w].reshape(b, l, c)
+
+    def _partition(self, x):
+        ws = self.window_size
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // ws, ws, w // ws, ws, c)
+        return x.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, c)
+
+    def _reverse(self, wins, h, w):
+        ws = self.window_size
+        b = wins.shape[0] // ((h // ws) * (w // ws))
+        x = wins.reshape(b, h // ws, w // ws, ws, ws, -1)
+        return x.permute(0, 1, 3, 2, 4, 5).reshape(b, h, w, -1)
+
+
+class _SwinBlockT(nn.Module):
+    """swin.py:516-592: LN -> (S)W-MSA -> +id -> LN -> FFN(+id)."""
+
+    def __init__(self, dim, num_heads, window_size, shift, mlp_ratio=4):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim)
+        self.attn = _ShiftWindowMSA(dim, num_heads, window_size, shift)
+        self.norm2 = nn.LayerNorm(dim)
+        self.ffn = _FFN(dim, dim * mlp_ratio)
+
+    def forward(self, x, hw):
+        idt = x
+        x = idt + self.attn(self.norm1(x), hw)
+        return self.ffn(self.norm2(x), identity=x)
+
+
+class _PatchMergingT(nn.Module):
+    """swin.py:174-241: nn.Unfold(2, stride 2) channel-major 2x2 concat,
+    LN, then Linear(4C -> out, no bias)."""
+
+    def __init__(self, in_ch, out_ch):
+        super().__init__()
+        self.sampler = nn.Unfold(kernel_size=2, stride=2)
+        self.norm = nn.LayerNorm(4 * in_ch)
+        self.reduction = nn.Linear(4 * in_ch, out_ch, bias=False)
+
+    def forward(self, x, hw):
+        h, w = hw
+        b, l, c = x.shape
+        x = x.view(b, h, w, c).permute(0, 3, 1, 2)
+        if (h % 2) or (w % 2):
+            x = F.pad(x, (0, w % 2, 0, h % 2))
+        x = self.sampler(x)                        # (B, 4C, h2*w2)
+        x = x.transpose(1, 2)
+        x = self.norm(x)
+        return self.reduction(x), ((h + 1) // 2, (w + 1) // 2)
+
+
+class _SwinStage(nn.Module):
+    def __init__(self, dim, num_heads, depth, window_size, downsample):
+        super().__init__()
+        self.blocks = nn.ModuleList([
+            _SwinBlockT(dim, num_heads, window_size, shift=(i % 2 == 1))
+            for i in range(depth)])
+        self.downsample = downsample
+
+    def forward(self, x, hw):
+        for blk in self.blocks:
+            x = blk(x, hw)
+        if self.downsample is not None:
+            x_down, hw_down = self.downsample(x, hw)
+            return x_down, hw_down, x, hw
+        return x, hw, x, hw
+
+
+class TorchSwin(nn.Module):
+    """mmcv-flavoured Swin backbone (swin.py:680-976): 4x4 conv patch embed
+    + LN, stages with unfold PatchMerging, per-out-index LN heads, and
+    return_stereo_feat emitting the stage-0 (stride-4) feature first."""
+
+    def __init__(self, embed_dims=128, depths=(2, 2, 18, 2),
+                 num_heads=(4, 8, 16, 32), window_size=12,
+                 out_indices=(2, 3), return_stereo_feat=True):
+        super().__init__()
+        self.out_indices = out_indices
+        self.return_stereo_feat = return_stereo_feat
+        self.patch_embed = nn.Module()
+        self.patch_embed.projection = nn.Conv2d(3, embed_dims, 4, stride=4)
+        self.patch_embed.norm = nn.LayerNorm(embed_dims)
+        self.stages = nn.ModuleList()
+        dim = embed_dims
+        dims = []
+        for i, depth in enumerate(depths):
+            down = (_PatchMergingT(dim, dim * 2)
+                    if i < len(depths) - 1 else None)
+            self.stages.append(
+                _SwinStage(dim, num_heads[i], depth, window_size, down))
+            dims.append(dim)
+            if down is not None:
+                dim *= 2
+        for i in out_indices:
+            self.add_module(f"norm{i}", nn.LayerNorm(dims[i]))
+
+    def stem(self, x):
+        x = self.patch_embed.projection(x)
+        hw = (x.shape[2], x.shape[3])
+        x = x.flatten(2).transpose(1, 2)
+        return self.patch_embed.norm(x), hw
+
+    def forward(self, x, stage0_only=False):
+        x, hw = self.stem(x)
+        outs = []
+        for i, stage in enumerate(self.stages):
+            x, hw, out, out_hw = stage(x, hw)
+            if i == 0 and (self.return_stereo_feat or stage0_only):
+                feat = out.view(-1, *out_hw, out.shape[-1]) \
+                    .permute(0, 3, 1, 2).contiguous()
+                if stage0_only:
+                    return feat
+                outs.append(feat)
+            if i in self.out_indices:
+                y = getattr(self, f"norm{i}")(out)
+                outs.append(y.view(-1, *out_hw, y.shape[-1])
+                            .permute(0, 3, 1, 2).contiguous())
+        return outs
+
+
 class _DoubleConv(nn.Module):
     def __init__(self, cin, cout):
         super().__init__()
@@ -532,11 +863,13 @@ class TorchCustomResNet(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def frustum_points(vt):
+def frustum_points(vt, downsample=None):
     """(D, fH, fW, 3) of (u, v, d) image-plane frustum
-    (lss_heightmap.py:105-134, sid=False)."""
+    (lss_heightmap.py:105-134, sid=False).  ``downsample`` overrides
+    vt.downsample (the stereo cv_frustum uses 4, lss_heightmap.py:900-907)."""
     h, w = vt.input_size
-    fh, fw = h // vt.downsample, w // vt.downsample
+    ds_factor = downsample or vt.downsample
+    fh, fw = h // ds_factor, w // ds_factor
     ds = np.arange(vt.depth.lower, vt.depth.upper, vt.depth.interval,
                    dtype=np.float64)
     xs = np.linspace(0, w - 1, fw, dtype=np.float64)
@@ -653,7 +986,8 @@ class TorchDHDS(nn.Module):
         for k, slab in enumerate((s1, s2, s3)):
             self.add_module(
                 f"img_voxel_encoder{k}",
-                TorchUNet(slab * vt.out_channels, cfg.voxel_encoder_out[k]))
+                TorchUNet(slab * vt.out_channels, cfg.voxel_encoder_out[k],
+                          base=cfg.unet_base))
         self.mix = TorchSFA(cfg.sfa_in_channels, cfg.sfa_out_channels)
         self.occ_head = TorchOccHead(cfg.head_in_dim, cfg.head_out_dim,
                                      cfg.head_Dz, cfg.num_classes,
@@ -714,5 +1048,218 @@ class TorchDHDS(nn.Module):
             outs3d.append(getattr(self, f"img_voxel_encoder{k}")(flat))
         x3d = torch.cat(outs3d, dim=1)
 
+        fused = self.mix(torch.cat([x2d, x3d], dim=1))
+        return self.occ_head(fused).numpy()
+
+
+# ---------------------------------------------------------------------------
+# assembled DHD_stereo (DHD-M/L protocol)
+# ---------------------------------------------------------------------------
+
+
+def stereo_prepare_inputs_np(s2e, e2g):
+    """(s2k, c2a) in fp64 from frames-major poses (bevdet4d.py:208-288).
+
+    s2k[:, f] = inv(keyego2global) @ ego2global[f] @ sensor2ego[f]
+    c2a[:, f] = frame-f camera -> frame-(f+1) camera (curr2adjsensor).
+    """
+    s2e = s2e.astype(np.float64)
+    e2g = e2g.astype(np.float64)
+    keyego2global = e2g[:, 0, 0]                      # (B, 4, 4)
+    g2k = np.linalg.inv(keyego2global)[:, None, None]
+    s2k = g2k @ e2g @ s2e                             # (B, F, N, 4, 4)
+    cam2global = e2g @ s2e
+    c2a = np.linalg.inv(cam2global[:, 1:]) @ cam2global[:, :-1]
+    return s2k, c2a
+
+
+class TorchDHDStereo(nn.Module):
+    """The assembled temporal+stereo DHD detector (DHD_model.py:245-667 on
+    the BEVStereo4D protocol, bevstereo4d.py:13-275): backwards frame loop,
+    extra-ref stereo frame, cost volume against the previous frame,
+    pre-process nets, per-frame channel concat, slab UNets, SFA, head.
+
+    Consumes our frames-major numpy batch; geometry (frustum/pooling) uses
+    the shared numpy helpers, network math is all torch with
+    reference-keyed state_dict names."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        vt = cfg.vt
+        dz = vt.z_fine.size
+        nf = cfg.num_frames - (1 if cfg.stereo else 0)   # concat'd frames
+        if cfg.backbone == "resnet50":
+            self.img_backbone = TorchResNet50(cfg.backbone_out_indices)
+        elif cfg.backbone == "swin_base":
+            self.img_backbone = TorchSwin(
+                embed_dims=cfg.swin_embed_dims, depths=cfg.swin_depths,
+                num_heads=cfg.swin_num_heads, window_size=cfg.swin_window,
+                out_indices=(2, 3), return_stereo_feat=True)
+        else:
+            raise NotImplementedError(cfg.backbone)
+        if cfg.img_neck == "custom_fpn":
+            self.img_neck = TorchCustomFPN(cfg.img_neck_in_channels,
+                                           cfg.img_neck_out_channels)
+        else:                                      # DHD-L FPN_LSS img neck
+            self.img_neck = TorchFPNLSS(
+                sum(cfg.img_neck_in_channels), cfg.img_neck_out_channels,
+                scale_factor=2, input_feature_index=(0, 1),
+                extra_upsample=None)
+        dn = cfg.depthnet_cfg
+        hn = cfg.heightnet_cfg
+        self.img_view_transformer = nn.Module()
+        self.img_view_transformer.depth_net = TorchDepthNet(
+            vt.in_channels, vt.in_channels, vt.out_channels, vt.D,
+            use_aspp=dn.use_aspp, use_dcn=dn.use_dcn,
+            aspp_mid=dn.aspp_mid_channels, stereo=dn.stereo, bias=dn.bias)
+        self.img_view_transformer.height_net = TorchHeightNet(
+            vt.in_channels, vt.in_channels, vt.num_height_bins,
+            use_aspp=hn.use_aspp, use_dcn=hn.use_dcn,
+            aspp_mid=hn.aspp_mid_channels)
+        if cfg.pre_process:
+            self.pre_process_net = TorchCustomResNet(
+                vt.out_channels, (vt.out_channels,), (1,), (1,))
+            self.pre_process_net_3d = TorchCustomResNet(
+                vt.out_channels * dz, (vt.out_channels * dz,), (1,), (1,))
+        cat_c = vt.out_channels * nf
+        if cfg.bev_encoder == "unet":
+            self.img_bev_encoder_backbone = TorchUNet(
+                cat_c, cfg.bev_unet_out, base=cfg.unet_base)
+        else:
+            self.img_bev_encoder_backbone = TorchCustomResNet(
+                cat_c, cfg.bev_encoder_channels)
+            bev_in = (cfg.bev_encoder_channels[-1]
+                      + cfg.bev_encoder_channels[0])
+            self.img_bev_encoder_neck = TorchFPNLSS(
+                bev_in, cfg.bev_neck_out_channels, scale_factor=4,
+                input_feature_index=(0, 2), extra_upsample=2)
+        s1, s2, s3 = vt.slab_sizes
+        for k, slab in enumerate((s1, s2, s3)):
+            self.add_module(
+                f"img_voxel_encoder{k}",
+                TorchUNet(slab * cat_c, cfg.voxel_encoder_out[k],
+                          base=cfg.unet_base))
+        self.mix = TorchSFA(cfg.sfa_in_channels, cfg.sfa_out_channels)
+        self.occ_head = TorchOccHead(cfg.head_in_dim, cfg.head_out_dim,
+                                     cfg.head_Dz, cfg.num_classes,
+                                     cfg.use_predicter)
+
+    def _stereo_stem(self, x):
+        """extract_stereo_ref_feat: backbone stem + stage 0 only
+        (bevstereo4d.py:20-54)."""
+        bb = self.img_backbone
+        if isinstance(bb, TorchSwin):
+            return bb(x, stage0_only=True)
+        x = bb.maxpool(F.relu(bb.bn1(bb.conv1(x))))
+        return bb.layer1(x)
+
+    def _image_encoder(self, x):
+        """backbone (stereo=True) + neck: (neck_out, stage0 stereo feat)."""
+        feats = self.img_backbone(x)
+        stereo_feat, feats = feats[0], feats[1:]
+        return self.img_neck(feats), stereo_feat
+
+    def _bev_encoder(self, x):
+        y = self.img_bev_encoder_backbone(x)
+        if self.cfg.bev_encoder == "unet":
+            return y
+        return self.img_bev_encoder_neck(y)
+
+    @torch.no_grad()
+    def forward(self, batch):
+        cfg = self.cfg
+        vt = cfg.vt
+        dz = vt.z_fine.size
+        imgs = batch["imgs"]                        # (B, F, N, H, W, 3)
+        b, f, n = imgs.shape[:3]
+        s2k, c2a = stereo_prepare_inputs_np(batch["sensor2ego"],
+                                            batch["ego2global"])
+        cv_frustum = torch.from_numpy(
+            frustum_points(vt, downsample=4).astype(np.float32))
+
+        bev_list, vox_list = [], []
+        depth_key = height_key = None
+        feat_prev_iv = None
+        for fid in range(cfg.num_frames - 1, -1, -1):
+            key_frame = fid == 0
+            extra_ref = cfg.stereo and fid == cfg.num_frames - 1
+            x_t = torch.from_numpy(
+                np.moveaxis(imgs[:, fid], -1, 2)).float() \
+                .reshape(b * n, 3, *imgs.shape[3:5])
+            if extra_ref:
+                feat_prev_iv = self._stereo_stem(x_t)
+                continue
+            x, stereo_feat = self._image_encoder(x_t)
+            fh, fw = x.shape[2:]
+
+            intr = batch["intrins"][:, fid]
+            pr = batch["post_rots"][:, fid]
+            pt = batch["post_trans"][:, fid]
+            mlp_input = torch.from_numpy(get_mlp_input_np(
+                s2k[:, 0].astype(np.float32), intr, pr, pt,
+                batch["bda"])).reshape(b * n, 27)
+
+            metas = dict(
+                k2s_sensor=torch.from_numpy(
+                    c2a[:, fid].astype(np.float32)),
+                intrins=torch.from_numpy(intr),
+                post_rots=torch.from_numpy(pr),
+                post_trans=torch.from_numpy(pt),
+                frustum=cv_frustum,
+                cv_downsample=4, downsample=vt.downsample,
+                cv_feat_list=[feat_prev_iv, stereo_feat])
+            dnet_out = self.img_view_transformer.depth_net(
+                x, mlp_input, metas)
+            depth = torch.softmax(dnet_out[:, :vt.D], dim=1)
+            tran_feat = dnet_out[:, vt.D:vt.D + vt.out_channels]
+            height_logit = self.img_view_transformer.height_net(x, mlp_input)
+            height = torch.softmax(height_logit, dim=1)
+
+            centers = np.asarray(vt.height_bin_centers(), np.float32)
+            hmap = centers[height.argmax(dim=1).numpy()]
+            lo, t1, t2, hi = vt.mask_range
+            band_mask = np.stack([(hmap >= lo) & (hmap < t1),
+                                  (hmap >= t1) & (hmap < t2),
+                                  (hmap >= t2) & (hmap < hi)],
+                                 axis=-1).astype(np.float32)
+
+            coords = ego_coords(
+                vt, s2k[:, fid].astype(np.float32), intr, pr, pt,
+                batch["bda"])
+            bev, vox = mghs_pool_np(
+                depth.numpy().reshape(b, n, vt.D, fh, fw),
+                tran_feat.numpy().reshape(b, n, vt.out_channels, fh, fw),
+                band_mask.reshape(b, n, fh, fw, 3), coords, vt)
+            bev_t = torch.from_numpy(bev)            # (B, C, Dy, Dx)
+            vox_t = torch.from_numpy(vox)            # (B, C, Dz, Dy, Dx)
+
+            if cfg.pre_process:
+                # collapse z (z-major: cat(unbind(2), 1)), 1-layer resnet,
+                # restore (DHD_model.py:360-368)
+                bev_t = self.pre_process_net(bev_t)[0]
+                vox_c = torch.cat(vox_t.unbind(dim=2), 1)
+                vox_c = self.pre_process_net_3d(vox_c)[0]
+                vox_t = torch.stack(torch.chunk(vox_c, dz, dim=1), dim=2)
+
+            if key_frame:
+                depth_key, height_key = depth, height
+            else:
+                feat_prev_iv = stereo_feat
+            bev_list.append(bev_t)
+            vox_list.append(vox_t)
+
+        bev_cat = torch.cat(bev_list, dim=1)          # (B, F'*C, Dy, Dx)
+        vox_cat = torch.cat(vox_list, dim=1)          # (B, F'*C, Dz, Dy, Dx)
+
+        s1, s2, _ = vt.slab_sizes
+        slabs = [vox_cat[:, :, :s1], vox_cat[:, :, s1:s1 + s2],
+                 vox_cat[:, :, s1 + s2:]]
+        outs3d = []
+        for k, slab in enumerate(slabs):
+            flat = torch.cat(slab.unbind(dim=2), 1)   # z-major collapse
+            outs3d.append(getattr(self, f"img_voxel_encoder{k}")(flat))
+        x3d = torch.cat(outs3d, dim=1)
+        x2d = self._bev_encoder(bev_cat)
         fused = self.mix(torch.cat([x2d, x3d], dim=1))
         return self.occ_head(fused).numpy()

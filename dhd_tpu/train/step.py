@@ -70,10 +70,17 @@ def total_loss(cfg: ModelConfig, out: Dict[str, jnp.ndarray],
 
 def create_train_state(model, cfg: ModelConfig, rng, batch,
                        tx: optax.GradientTransformation,
-                       with_ema: bool = True) -> TrainState:
+                       with_ema: bool = True,
+                       jit_init: bool = False) -> TrainState:
     from dhd_tpu.train.ema import ema_init
 
-    variables = model.init(rng, batch, train=False)
+    if jit_init:
+        # one compiled program instead of thousands of eager op dispatches —
+        # the dominant cost on slow-dispatch hosts (1-core CPU driver)
+        variables = jax.jit(
+            lambda r, b: model.init(r, b, train=False))(rng, batch)
+    else:
+        variables = model.init(rng, batch, train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     ema = ema_init(params, batch_stats, cfg.optim.ema_init_updates) \

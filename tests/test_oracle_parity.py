@@ -201,6 +201,129 @@ def test_image_encoder_parity():
     _diff(out_fl, np.moveaxis(out_t.detach().numpy(), 1, -1))
 
 
+def test_swin_parity():
+    """Swin backbone (small instance, real numerics): patch embed, W-MSA +
+    SW-MSA with relative-position bias and the shift mask, unfold
+    PatchMerging, per-out-index LN heads, and the stereo stage-0 output —
+    through the converter rules (proves the Swin-B rule table on numbers,
+    not just key shapes)."""
+    from dhd_tpu.nn.swin import SwinTransformer
+    from dhd_tpu.oracle import TorchSwin
+
+    depths, heads, embed, ws, out_idx = (2, 2), (2, 4), 16, 4, (0, 1)
+    fl = SwinTransformer(embed_dims=embed, depths=depths, num_heads=heads,
+                         window_size=ws, out_indices=out_idx,
+                         drop_path_rate=0.0, return_stereo_feat=True)
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 1, (2, 32, 48, 3)).astype(np.float32)
+    variables = fl.init(jax.random.PRNGKey(8), jnp.asarray(x))
+    outs_fl = fl.apply(variables, jnp.asarray(x))
+
+    wrapped = {"params": {"img_encoder": {"backbone": variables["params"]}},
+               "batch_stats": {}}
+    rules = C._swin("img_backbone", ("img_encoder", "backbone"),
+                    depths=depths, out_indices=out_idx)
+    sd = C.params_to_torch(wrapped, None, rules=rules)
+    oracle = TorchSwin(embed_dims=embed, depths=depths, num_heads=heads,
+                       window_size=ws, out_indices=out_idx,
+                       return_stereo_feat=True)
+    h = _Holder("img_backbone", oracle).eval()
+    h.load(sd)
+    with torch.no_grad():
+        outs_t = oracle(torch.from_numpy(np.moveaxis(x, -1, 1)))
+    assert len(outs_fl) == len(outs_t) == 1 + len(out_idx)
+    for a, b in zip(outs_fl, outs_t):
+        _diff(a, np.moveaxis(b.detach().numpy(), 1, -1))
+
+    # stage0_only (extract_stereo_ref_feat path, bevstereo4d.py:20-54)
+    s0_fl = fl.apply(variables, jnp.asarray(x), stage0_only=True)
+    with torch.no_grad():
+        s0_t = oracle(torch.from_numpy(np.moveaxis(x, -1, 1)),
+                      stage0_only=True)
+    _diff(s0_fl, np.moveaxis(s0_t.detach().numpy(), 1, -1))
+
+
+def test_depthnet_stereo_parity():
+    """Full DepthNet with the stereo branch: gen_grid + calculate_cost_volumn
+    + cost_volumn_net + context/depth SE trunks, flax (ops/cost_volume.py +
+    nn/depthnet.py) vs the torch oracle on the same geometry
+    (depthnet.py:172-415)."""
+    from dhd_tpu.geometry import create_frustum
+    from dhd_tpu.nn import DepthNet
+    from dhd_tpu.ops.cost_volume import stereo_cost_volume
+    from dhd_tpu.oracle import TorchDepthNet
+
+    b, n, cin, mid, ctx, d_bins, cs = 1, 2, 32, 32, 24, 16, 8
+    h_img, w_img = 64, 96
+    fh, fw = h_img // 16, w_img // 16            # 4 x 6
+    hs, ws_ = h_img // 4, w_img // 4             # 16 x 24
+    dcfg = DepthNetConfig(stereo=True, use_dcn=False, aspp_mid_channels=16,
+                          bias=5.0)
+    depth_grid = GridConfig(1.0, 9.0, 0.5)
+    assert depth_grid.size == d_bins
+
+    rng = np.random.default_rng(6)
+    x = rng.normal(0, 1, (b * n, fh, fw, cin)).astype(np.float32)
+    mlp = rng.normal(0, 1, (b * n, 27)).astype(np.float32)
+    prev = rng.normal(0, 1, (b, n, hs, ws_, cs)).astype(np.float32)
+    curr = rng.normal(0, 1, (b, n, hs, ws_, cs)).astype(np.float32)
+    intr = np.zeros((b, n, 3, 3), np.float32)
+    intr[..., 0, 0] = intr[..., 1, 1] = 80.0
+    intr[..., 0, 2] = w_img / 2.0
+    intr[..., 1, 2] = h_img / 2.0
+    intr[..., 2, 2] = 1.0
+    post_rots = np.broadcast_to(np.eye(3, dtype=np.float32),
+                                (b, n, 3, 3)).copy()
+    post_trans = np.zeros((b, n, 3), np.float32)
+    k2s = np.broadcast_to(np.eye(4, dtype=np.float32), (b, n, 4, 4)).copy()
+    k2s[..., 0, 3] = 0.4                          # small lateral baseline
+    k2s[..., 2, 3] = -0.8
+
+    frustum = create_frustum(depth_grid, (h_img, w_img), downsample=4)
+    cv = stereo_cost_volume(jnp.asarray(prev), jnp.asarray(curr),
+                            frustum, jnp.asarray(k2s), jnp.asarray(intr),
+                            jnp.asarray(post_rots), jnp.asarray(post_trans),
+                            bias=dcfg.bias)
+    cost_volume = jnp.transpose(
+        jnp.reshape(cv, (b * n, d_bins, hs, ws_)), (0, 2, 3, 1))
+
+    fl = DepthNet(mid_channels=mid, context_channels=ctx,
+                  depth_channels=d_bins, cfg=dcfg)
+    variables = fl.init(jax.random.PRNGKey(9), jnp.asarray(x),
+                        jnp.asarray(mlp), cost_volume)
+    out_fl = fl.apply(variables, jnp.asarray(x), jnp.asarray(mlp),
+                      cost_volume)
+
+    wrapped = {
+        "params": {"vt": {"depth_net": variables["params"]}},
+        "batch_stats": {"vt": {"depth_net": variables["batch_stats"]}},
+    }
+    rules = C._depthnet_full("img_view_transformer.depth_net",
+                             ("vt", "depth_net"), dcfg)
+    sd = C.params_to_torch(wrapped, None, rules=rules)
+    oracle = TorchDepthNet(cin, mid, ctx, d_bins, use_aspp=dcfg.use_aspp,
+                           use_dcn=dcfg.use_dcn,
+                           aspp_mid=dcfg.aspp_mid_channels, stereo=True,
+                           bias=dcfg.bias)
+    h = _Holder("img_view_transformer.depth_net", oracle).eval()
+    h.load(sd)
+    metas = dict(
+        k2s_sensor=torch.from_numpy(k2s), intrins=torch.from_numpy(intr),
+        post_rots=torch.from_numpy(post_rots),
+        post_trans=torch.from_numpy(post_trans),
+        frustum=torch.from_numpy(np.asarray(frustum, np.float32)),
+        cv_downsample=4, downsample=16,
+        cv_feat_list=[
+            torch.from_numpy(np.moveaxis(prev.reshape(b * n, hs, ws_, cs),
+                                         -1, 1)).contiguous(),
+            torch.from_numpy(np.moveaxis(curr.reshape(b * n, hs, ws_, cs),
+                                         -1, 1)).contiguous()])
+    with torch.no_grad():
+        out_t = oracle(torch.from_numpy(np.moveaxis(x, -1, 1)),
+                       torch.from_numpy(mlp), metas)
+    _diff(out_fl, np.moveaxis(out_t.detach().numpy(), 1, -1), tol=5e-4)
+
+
 def _parity_cfg():
     """dhd_s channel configuration at reduced spatial/grid sizes (the
     converter rules only depend on channels)."""
@@ -213,6 +336,55 @@ def _parity_cfg():
     )
     return dataclasses.replace(base, vt=vt, pool_method="xla",
                                backbone_remat=False)
+
+
+def _parity_cfg_stereo():
+    """dhd_m channel configuration (R50 out (0,2,3), stereo DepthNet, UNet
+    BEV encoder, pre-process nets) at reduced spatial/grid/depth sizes and
+    2 cameras."""
+    base = get_config("dhd_m")
+    vt = dataclasses.replace(
+        base.vt,
+        input_size=(64, 192),
+        depth=GridConfig(1.0, 9.0, 0.5),        # D=16 0.5 m bins
+        gt_depth=GridConfig(1.0, 9.0, 0.5),
+        x=GridConfig(-12.8, 12.8, 0.4),
+        y=GridConfig(-12.8, 12.8, 0.4),
+    )
+    return dataclasses.replace(base, vt=vt, num_cams=2, pool_method="xla",
+                               backbone_remat=False)
+
+
+def test_full_dhd_stereo_parity():
+    """The assembled DHD_stereo forward (backwards frame loop, extra stereo
+    ref frame, cost volume, pre-process nets, frame concat, slab UNets) —
+    flax + the full DHD-M converter rule table vs the torch oracle."""
+    from dhd_tpu.data import synthetic_batch
+    from dhd_tpu.models import build_model
+    from dhd_tpu.oracle import TorchDHDStereo
+
+    cfg = _parity_cfg_stereo()
+    model = build_model(cfg)
+    batch_np = synthetic_batch(cfg, batch_size=1, seed=11, with_gt=False)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(11), batch,
+                                           train=False))()
+    out_fl = jax.jit(lambda v, b: model.apply(v, b, train=False)
+                     ["occ_logits"])(variables, batch)
+
+    sd = C.params_to_torch(variables, cfg)
+    oracle = TorchDHDStereo(cfg).eval()
+    missing, unexpected = oracle.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+        strict=False)
+    assert not unexpected, unexpected[:8]
+    real_missing = [m for m in missing
+                    if "num_batches_tracked" not in m
+                    and "relative_position_index" not in m]
+    assert not real_missing, real_missing[:8]
+
+    out_t = oracle(batch_np)
+    _diff(out_fl, out_t, tol=1e-3)
 
 
 def test_full_dhd_s_parity():
