@@ -193,6 +193,11 @@ class ModelConfig:
     # XLA segment_sum otherwise (training backward is a pure gather under
     # XLA); 'xla' / 'pallas' force one
     pool_method: str = "auto"
+    # stereo cost-volume backend: 'auto' = MXU Pallas kernel on TPU, XLA
+    # gather elsewhere; window width covers one 128-wide output tile's
+    # source span + disparity/rotation slack (ops/cost_volume_pallas.py)
+    cv_method: str = "auto"
+    cv_window_cols: int = 192
 
     @property
     def num_frames(self) -> int:

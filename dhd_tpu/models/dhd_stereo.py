@@ -211,7 +211,9 @@ class DHDStereoNet(nn.Module):
                         batch["intrins"][:, fid],
                         batch["post_rots"][:, fid],
                         batch["post_trans"][:, fid],
-                        bias=cfg.depthnet_cfg.bias)
+                        bias=cfg.depthnet_cfg.bias,
+                        method=cfg.cv_method,
+                        window_cols=cfg.cv_window_cols)
                     # DepthNet's cost_volumn_net consumes (B*N, Hs, Ws, D)
                     cost_volume = jnp.transpose(
                         cv.reshape(b * n, vt.D, hs, ws), (0, 2, 3, 1)
@@ -351,7 +353,8 @@ class DHDStereoNet(nn.Module):
                     sfeat.reshape(b, n, hs, ws, cs),
                     cv_frustum, k2s, batch["intrins"],
                     batch["post_rots"], batch["post_trans"],
-                    bias=cfg.depthnet_cfg.bias)
+                    bias=cfg.depthnet_cfg.bias, method=cfg.cv_method,
+                    window_cols=cfg.cv_window_cols)
                 cost_volume = jnp.transpose(
                     cv.reshape(b * n, vt.D, hs, ws), (0, 2, 3, 1)
                 ).astype(self.dtype)

@@ -62,7 +62,8 @@ def stereo_cost_volume(prev_feat: jnp.ndarray, curr_feat: jnp.ndarray,
                        frustum: jnp.ndarray, k2s_sensor: jnp.ndarray,
                        intrins: jnp.ndarray, post_rots: jnp.ndarray,
                        post_trans: jnp.ndarray, bias: float = 0.0,
-                       depth_chunk: int = 8) -> jnp.ndarray:
+                       depth_chunk: int = 8, method: str = "auto",
+                       window_cols: int = 192) -> jnp.ndarray:
     """Softmaxed depth probability volume from two stereo feature maps.
 
     Args:
@@ -72,10 +73,20 @@ def stereo_cost_volume(prev_feat: jnp.ndarray, curr_feat: jnp.ndarray,
       intrins/post_rots: (B, N, 3, 3); post_trans: (B, N, 3).
       bias: added to the cost of invalid samples (5.0 for DHD-M/L).
       depth_chunk: depth bins warped per scan step (memory bound; rounded
-        down to a divisor of D).
+        down to a divisor of D; XLA path only).
+      method: 'auto' (MXU Pallas kernel on TPU, XLA gather elsewhere),
+        'xla', or 'pallas'.
+      window_cols: Pallas warp window width (see cost_volume_pallas).
     Returns:
       (B, N, D, Hs, Ws) cost-volume probabilities (stop-gradient).
     """
+    if method == "auto":
+        method = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if method == "pallas":
+        from .cost_volume_pallas import stereo_cost_volume_pallas
+        return stereo_cost_volume_pallas(
+            prev_feat, curr_feat, frustum, k2s_sensor, intrins, post_rots,
+            post_trans, bias=bias, window_cols=window_cols)
     b, n, hs, ws, c = curr_feat.shape
     d = frustum.shape[0]
     img_h, img_w = hs * 4, ws * 4

@@ -1,0 +1,104 @@
+"""Pallas cost-volume kernel vs the XLA gather path (interpret mode on CPU).
+
+Same geometry style as test_oracle_parity.test_depthnet_stereo_parity: a
+mild inter-frame rotation + translation, so tap spans stay well inside the
+window and the kernel's windowed bilinear warp is exactly the zero-padded
+grid_sample the XLA path computes.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dhd_tpu.geometry import create_frustum
+from dhd_tpu.config import GridConfig
+from dhd_tpu.ops.cost_volume import stereo_cost_volume
+from dhd_tpu.ops.cost_volume_pallas import (build_cv_plan,
+                                            stereo_cost_volume_pallas)
+
+
+def _geometry(b, n, h_img, w_img, seed=7):
+    rng = np.random.default_rng(seed)
+    intr = np.zeros((b, n, 3, 3), np.float32)
+    intr[..., 0, 0] = intr[..., 1, 1] = w_img * 0.8
+    intr[..., 0, 2] = w_img / 2.0
+    intr[..., 1, 2] = h_img / 2.0
+    intr[..., 2, 2] = 1.0
+    post_rots = np.broadcast_to(np.eye(3, dtype=np.float32),
+                                (b, n, 3, 3)).copy()
+    post_trans = np.zeros((b, n, 3), np.float32)
+    # small inter-frame motion: ~1 deg yaw + forward translation
+    k2s = np.broadcast_to(np.eye(4, dtype=np.float32), (b, n, 4, 4)).copy()
+    for bi in range(b):
+        for ni in range(n):
+            th = rng.uniform(-0.02, 0.02)
+            c, s = np.cos(th), np.sin(th)
+            k2s[bi, ni, :3, :3] = np.array(
+                [[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+            k2s[bi, ni, :3, 3] = rng.uniform(-0.3, 0.3, 3)
+    return intr, post_rots, post_trans, k2s
+
+
+@pytest.mark.parametrize("ws", [24, 48])
+def test_cost_volume_pallas_matches_xla(ws):
+    b, n, cs = 1, 2, 8
+    hs = 16
+    h_img, w_img = hs * 4, ws * 4
+    depth_grid = GridConfig(1.0, 9.0, 0.5)          # D=16
+    frustum = create_frustum(depth_grid, (h_img, w_img), downsample=4)
+
+    rng = np.random.default_rng(3)
+    prev = rng.normal(0, 1, (b, n, hs, ws, cs)).astype(np.float32)
+    curr = rng.normal(0, 1, (b, n, hs, ws, cs)).astype(np.float32)
+    intr, post_rots, post_trans, k2s = _geometry(b, n, h_img, w_img)
+
+    args = (jnp.asarray(prev), jnp.asarray(curr),
+            jnp.asarray(np.asarray(frustum, np.float32)), jnp.asarray(k2s),
+            jnp.asarray(intr), jnp.asarray(post_rots),
+            jnp.asarray(post_trans))
+    ref = stereo_cost_volume(*args, bias=5.0)
+    out = stereo_cost_volume_pallas(*args, bias=5.0, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_cv_plan_span_and_windowing():
+    """Windowed mode (Wc < Ws, the DHD-L shape class): origins stay in
+    range, the reported span fits the window, and the windowed kernel
+    matches XLA exactly.  A 128-wide output tile always reads ~128 source
+    columns (the warp is near-identity in x), so the window only has to
+    absorb the disparity + rotation slack on top of TILE_W."""
+    b, n, cs, hs, ws = 1, 1, 8, 8, 256
+    h_img, w_img = hs * 4, ws * 4
+    depth_grid = GridConfig(1.0, 9.0, 1.0)          # D=8
+    frustum = create_frustum(depth_grid, (h_img, w_img), downsample=4)
+    intr, post_rots, post_trans, k2s = _geometry(b, n, h_img, w_img, seed=1)
+
+    plan = jax.jit(build_cv_plan, static_argnames=("hs", "ws", "window_cols")
+                   )(jnp.asarray(np.asarray(frustum, np.float32)),
+                     jnp.asarray(k2s), jnp.asarray(intr),
+                     jnp.asarray(post_rots), jnp.asarray(post_trans),
+                     hs=hs, ws=ws, window_cols=192)
+    assert plan["wc"] == 192
+    rc0 = np.asarray(plan["rc0"])
+    r0, c0 = rc0 >> 16, rc0 & 0xFFFF
+    assert r0.min() >= 0 and r0.max() <= hs - 4
+    assert c0.min() >= 0 and c0.max() <= ws - 192 and np.all(c0 % 8 == 0)
+    # mild inter-frame motion: per-tile tap span must fit the window with
+    # the 8-column alignment slack to spare (the exactness precondition)
+    assert 0 < float(plan["span"]) <= 192 - 9
+
+    rng = np.random.default_rng(5)
+    prev = rng.normal(0, 1, (b, n, hs, ws, cs)).astype(np.float32)
+    curr = rng.normal(0, 1, (b, n, hs, ws, cs)).astype(np.float32)
+    args = (jnp.asarray(prev), jnp.asarray(curr),
+            jnp.asarray(np.asarray(frustum, np.float32)), jnp.asarray(k2s),
+            jnp.asarray(intr), jnp.asarray(post_rots),
+            jnp.asarray(post_trans))
+    ref = stereo_cost_volume(*args, bias=5.0)
+    out = stereo_cost_volume_pallas(*args, bias=5.0, window_cols=192,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
