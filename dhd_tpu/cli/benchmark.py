@@ -194,24 +194,27 @@ def main():
         interp = jax.devices()[0].platform != "tpu"
         plan = jax.jit(lambda i: build_pool_plan(i, vt, depth.shape))(idx)
 
-        def timed(name, fn):
+        def timed(name, fn, depth_arg=None):
             @jax.jit
             def step(carry, depth, feat):
                 bev, vox = fn(depth, feat + carry.astype(feat.dtype))
                 return jnp.tanh(jnp.sum(bev.astype(jnp.float32))
                                 + jnp.sum(vox.astype(jnp.float32))) * 1e-9
+            d = depth if depth_arg is None else depth_arg
             print(f"{name}: "
-                  f"{chained_time(step, args.iters, depth, feat) * 1e3:.2f}"
+                  f"{chained_time(step, args.iters, d, feat) * 1e3:.2f}"
                   f" ms", flush=True)
 
+        depth_px = jnp.transpose(depth, (0, 1, 3, 4, 2))  # pixel-major
         timed("mghs_pool xla segment_sum",
               lambda d, f: mghs_pool(d, f, bmask, idx, vt))
         tag = " [interpret]" if interp else ""
         timed(f"mghs_pool pallas (in-jit sort){tag}",
-              lambda d, f: mghs_pool_pallas(d, f, bmask, idx, vt, interp))
+              lambda d, f: mghs_pool_pallas(d, f, bmask, idx, vt, interp),
+              depth_arg=depth_px)
         timed(f"mghs_pool pallas + plan (serving){tag}",
               lambda d, f: mghs_pool_pallas(d, f, bmask, None, vt, interp,
-                                            plan=plan))
+                                            plan=plan), depth_arg=depth_px)
         # raw scatter primitive comparison (the CUDA-kernel analogue)
         p_pts = b * n * vt.D * fh * fw
         v = vt.z_fine.size * vt.y.size * vt.x.size * b

@@ -180,9 +180,6 @@ class MGHSTransform(nn.Module):
                 geom["post_trans"], geom["bda"])
             idx = compute_pool_indices(coords, vt)
 
-        # depth to point order (B, N, D, fH, fW); features channels-last.
-        depth_p = jnp.transpose(
-            depth.reshape(b, n, fh, fw, vt.D), (0, 1, 4, 2, 3))
         feat_p = tran_feat.astype(self.dtype).reshape(
             b, n, fh, fw, vt.out_channels)
         method = cfg.pool_method
@@ -193,14 +190,20 @@ class MGHSTransform(nn.Module):
                       and jax.default_backend() == "tpu" else "xla")
         if method.startswith("pallas"):
             # optional precomputed plan (the 'accelerate' serving mode):
-            # geometry-only, reusable across frames of a fixed camera rig
+            # geometry-only, reusable across frames of a fixed camera rig.
+            # depth stays pixel-major — the kernel path gathers rows by
+            # point id, no point-major transpose needed.
             from dhd_tpu.ops import mghs_pool_pallas
             bev, vox = mghs_pool_pallas(
-                depth_p.astype(self.dtype), feat_p,
-                band_mask.reshape(b, n, fh, fw, 3), idx, vt,
+                depth.astype(self.dtype).reshape(b, n, fh, fw, vt.D),
+                feat_p, band_mask.reshape(b, n, fh, fw, 3), idx, vt,
                 interpret=jax.default_backend() != "tpu",
                 plan=geom.get("pool_plan"))
         else:
+            # depth to point order (B, N, D, fH, fW) for the outer-product
+            # segment-sum formulation
+            depth_p = jnp.transpose(
+                depth.reshape(b, n, fh, fw, vt.D), (0, 1, 4, 2, 3))
             bev, vox = mghs_pool(
                 depth_p.astype(self.dtype), feat_p,
                 band_mask.reshape(b, n, fh, fw, 3), idx, vt)

@@ -200,6 +200,11 @@ def build_pool_plan(idx: PoolIndices, vt: ViewTransformConfig,
     pixel = jnp.broadcast_to(
         (jnp.arange(b * n * fh * fw, dtype=jnp.int32)
          .reshape(b * n, 1, fh * fw)), (b * n, d, fh * fw)).reshape(-1)
+    pixel_s = jnp.take(pixel, order)
+    # depth-bin index of each sorted point ((B,N,D,fH,fW) flattening), and
+    # the same point's id in *pixel-major* (B,N,fH,fW,D) flattening — the
+    # layout the per-frame row gather reads (see mghs_pool_pallas)
+    bin_s = (order // (fh * fw)) % d
     return {
         "order": order,
         "key_s": key_s,
@@ -207,7 +212,10 @@ def build_pool_plan(idx: PoolIndices, vt: ViewTransformConfig,
         "segb_s": jnp.where(key_s < num_vox, key_s // dz,
                             idx.num_seg_bev),
         "band_s": jnp.take(idx.band, order),
-        "pixel_s": jnp.take(pixel, order),
+        "pixel_s": pixel_s,
+        "order2": pixel_s * d + bin_s,
+        "band_grid": jnp.transpose(
+            idx.band.reshape(b, n, d, fh, fw), (0, 1, 3, 4, 2)),
         "tables": dual_visit_tables(key_s, num_vox),
     }
 
@@ -229,32 +237,46 @@ def mghs_pool_pallas(depth: jnp.ndarray, feat: jnp.ndarray,
 
     With ``plan`` (see :func:`build_pool_plan`) the sort and visit tables
     are reused across frames — the reference's 'accelerate' serving mode —
-    and the per-frame cost is three gathers plus the kernel.  Training
+    and the per-frame cost is ONE row gather plus the kernel.  Training
     keeps :func:`mghs_pool` — XLA's segment_sum backward is a pure gather,
     while this path would need an extra scatter.
+
+    Args:
+      depth: (B, N, fH, fW, D) softmaxed depth distribution in *pixel-major*
+        layout (the natural softmax output; the point-major transpose the
+        XLA path wants is pure extra traffic here).
 
     Returns:
       bev: (B, Dy, Dx, C); vox: (B, Dy, Dx, Dz, C) in feat.dtype.
     """
     from dhd_tpu.ops.pallas_pool import mghs_pool_sorted_dual
 
-    b, n, d, fh, fw = depth.shape
+    b, n, fh, fw, d = depth.shape
     c = feat.shape[-1]
     dx, dy, dz = vt.x.size, vt.y.size, vt.z_fine.size
     assert vt.z_full.size == 1, "main DHD grid is z-collapsed (Dz=1)"
     if plan is None:
-        plan = build_pool_plan(idx, vt, depth.shape)
+        plan = build_pool_plan(idx, vt, (b, n, d, fh, fw))
     num_vox = b * dy * dx * dz
 
-    # per-frame work: gathers in sorted order (scalars; the only row gather
-    # is feat, fused with the outer product below), then the kernel
-    order = plan["order"]
-    pixel_s = plan["pixel_s"]
-    depth_s = jnp.take(depth.reshape(-1), order)
-    feat_s = jnp.take(feat.reshape(-1, c), pixel_s, axis=0)
-    vals_s = (depth_s.astype(feat.dtype)[:, None] * feat_s)
-    gate_s = band_mask.reshape(-1, 3)[pixel_s, plan["band_s"]]
-    segv_gated = jnp.where(gate_s > 0, plan["segv_s"], num_vox)
+    # Per-frame work: ONE row gather into sorted-point order, then the
+    # kernel.  Per-element (scalar) gathers of the P~186k depth and gate
+    # values ran at ~7 cycles/element on v5e — 2.9 ms/frame, the two
+    # largest ops in the DHD-S serving profile — while row gathers stream
+    # at ~100 GB/s.  So the depth*feat outer product and the height-band
+    # gate are computed in grid layout (fused elementwise into the softmax/
+    # cast chain), the gate rides as one extra channel, and a single
+    # (P, C+1) row gather by pixel-major point id replaces all three.
+    dt = feat.dtype
+    bg = plan["band_grid"]                        # (B,N,fH,fW,D) int32
+    gate = ((bg == 0) * band_mask[..., 0:1]
+            + (bg == 1) * band_mask[..., 1:2]
+            + (bg == 2) * band_mask[..., 2:3]).astype(dt)
+    vals = depth.astype(dt)[..., None] * feat[..., None, :]
+    packed = jnp.concatenate([vals, gate[..., None]], axis=-1)
+    rows = jnp.take(packed.reshape(-1, c + 1), plan["order2"], axis=0)
+    vals_s = rows[:, :c]
+    segv_gated = jnp.where(rows[:, c] > 0, plan["segv_s"], num_vox)
 
     vox, bev = mghs_pool_sorted_dual(
         vals_s, segv_gated, plan["segb_s"], plan["key_s"], num_vox, dz,

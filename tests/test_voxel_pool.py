@@ -119,8 +119,9 @@ def test_mghs_pool_pallas_matches_xla():
     bev_x, vox_x = mghs_pool(jnp.asarray(depth), jnp.asarray(feat),
                              jnp.asarray(band_mask), idx, vt)
     from dhd_tpu.ops import mghs_pool_pallas
+    depth_px = jnp.transpose(jnp.asarray(depth), (0, 1, 3, 4, 2))
     bev_p, vox_p = mghs_pool_pallas(
-        jnp.asarray(depth), jnp.asarray(feat), jnp.asarray(band_mask),
+        depth_px, jnp.asarray(feat), jnp.asarray(band_mask),
         idx, vt, interpret=jax.default_backend() != "tpu")
     np.testing.assert_allclose(np.asarray(bev_p), np.asarray(bev_x),
                                atol=1e-3)
