@@ -155,11 +155,13 @@ def mghs_pool(depth: jnp.ndarray, feat: jnp.ndarray, band_mask: jnp.ndarray,
     vals = depth[..., None] * feat[:, :, None]
     vals = vals.reshape(-1, c)
 
-    # Per-point gate: the band mask of the point's *voxel* z band.
-    gate = jnp.take_along_axis(
-        band_mask[:, :, None],                       # (B, N, 1, fH, fW, 3)
-        idx.band.reshape(b, n, d, fh, fw)[..., None], axis=-1
-    )[..., 0]
+    # Per-point gate: the band mask of the point's *voxel* z band.  One-hot
+    # compare-sum instead of take_along_axis — lowers to fused VPU selects
+    # rather than a per-element gather over the (B,N,D,fH,fW) grid.
+    bg = idx.band.reshape(b, n, d, fh, fw)
+    bm = band_mask[:, :, None]                       # (B, N, 1, fH, fW, 3)
+    gate = ((bg == 0) * bm[..., 0] + (bg == 1) * bm[..., 1]
+            + (bg == 2) * bm[..., 2])
     gate = gate.reshape(-1, 1).astype(vals.dtype)
 
     bev = jax.ops.segment_sum(vals, idx.seg_bev,
