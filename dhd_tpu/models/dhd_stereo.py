@@ -366,6 +366,12 @@ class DHDStereoNet(nn.Module):
             "post_trans": batch["post_trans"],
             "bda": bda,
         }
+        if "pool_plan" in batch:
+            # streaming serves a fixed camera rig: the pooling plan (sort
+            # order + kernel visit tables) is geometry-only and reusable
+            # across every frame, exactly like the single-frame serving
+            # path (build_stream_pool_plan)
+            geom["pool_plan"] = batch["pool_plan"]
         out = vt_mod(x, geom, train, cost_volume=cost_volume)
         bev, vox = out["bev"], out["vox"]
         if cfg.pre_process:
@@ -399,3 +405,24 @@ class DHDStereoNet(nn.Module):
         }
         return ({"occ_logits": occ, "depth": out["depth"],
                  "height": out["height"]}, new_cache)
+
+
+def build_stream_pool_plan(cfg: ModelConfig, batch: Dict[str, jnp.ndarray]
+                           ) -> dict:
+    """Pooling plan for the streaming (single-frame) batch layout.
+
+    Computes the same frame-relative sensor2keyego the streaming step uses
+    internally, then defers to :func:`dhd_tpu.models.dhd.build_batch_pool_plan`.
+    Geometry-only: one plan per camera rig, reused across every frame
+    (the reference's 'accelerate' mode, benchmark.py:83-84).
+    """
+    from .dhd import build_batch_pool_plan
+
+    hp = jax.lax.Precision.HIGHEST
+    s2e = batch["sensor2ego"].astype(jnp.float32)
+    e2g = batch["ego2global"].astype(jnp.float32)
+    g2k_e2g = rigid_relative(jnp.broadcast_to(e2g[:, :1], e2g.shape), e2g)
+    s2k = jnp.einsum("bnij,bnjk->bnik", g2k_e2g, s2e, precision=hp)
+    b2 = dict(batch)
+    b2["sensor2keyego"] = s2k
+    return build_batch_pool_plan(cfg, b2)

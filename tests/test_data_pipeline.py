@@ -134,6 +134,7 @@ def test_pipeline_temporal_layout(tmp_path):
     assert batch["ego2global"].shape == (1, f, 6, 4, 4)
 
 
+@pytest.mark.slow
 def test_pipeline_feeds_model(tmp_path):
     import jax
     import jax.numpy as jnp

@@ -68,6 +68,7 @@ def test_swin_stage0_only():
     assert f.shape == (1, 8, 12, 16)
 
 
+@pytest.mark.slow
 def test_swin_remat_matches_plain():
     """remat=True is a pure memory/compute trade: same outputs + grads."""
     m0 = _small_swin(return_stereo_feat=False)
