@@ -80,13 +80,22 @@ def stereo_cost_volume(prev_feat: jnp.ndarray, curr_feat: jnp.ndarray,
     Returns:
       (B, N, D, Hs, Ws) cost-volume probabilities (stop-gradient).
     """
+    # the whole op is non-differentiable (the reference computes it under
+    # @torch.no_grad, depthnet.py:310); stopping gradients on the *inputs*
+    # kills tangents before they reach the Pallas kernel — pallas_call has
+    # no JVP rule, so an output-side stop_gradient alone would still crash
+    # the train-step linearization (caught by the DHD-M train benchmark)
+    prev_feat, curr_feat, k2s_sensor, intrins, post_rots, post_trans = (
+        jax.lax.stop_gradient(x) for x in
+        (prev_feat, curr_feat, k2s_sensor, intrins, post_rots, post_trans))
     if method == "auto":
         method = "pallas" if jax.default_backend() == "tpu" else "xla"
     if method == "pallas":
         from .cost_volume_pallas import stereo_cost_volume_pallas
         return stereo_cost_volume_pallas(
             prev_feat, curr_feat, frustum, k2s_sensor, intrins, post_rots,
-            post_trans, bias=bias, window_cols=window_cols)
+            post_trans, bias=bias, window_cols=window_cols,
+            interpret=jax.default_backend() != "tpu")
     b, n, hs, ws, c = curr_feat.shape
     d = frustum.shape[0]
     img_h, img_w = hs * 4, ws * 4

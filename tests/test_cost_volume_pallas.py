@@ -102,3 +102,35 @@ def test_cv_plan_span_and_windowing():
                                     interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_cost_volume_pallas_under_grad():
+    """The op is non-differentiable (reference computes it under @no_grad,
+    depthnet.py:310); the dispatcher must stop gradients on the *inputs*
+    so train-step linearization never reaches the Pallas kernel (which has
+    no JVP rule — this crashed the DHD-M train step when cv_method flipped
+    to the kernel).  Input grads through a loss containing the cost volume
+    must be zero, not an error."""
+    b, n, cs, hs, ws = 1, 1, 8, 8, 24
+    h_img, w_img = hs * 4, ws * 4
+    depth_grid = GridConfig(1.0, 9.0, 1.0)          # D=8
+    frustum = jnp.asarray(np.asarray(
+        create_frustum(depth_grid, (h_img, w_img), downsample=4),
+        np.float32))
+    rng = np.random.default_rng(11)
+    prev = jnp.asarray(rng.normal(0, 1, (b, n, hs, ws, cs)), jnp.float32)
+    curr = jnp.asarray(rng.normal(0, 1, (b, n, hs, ws, cs)), jnp.float32)
+    intr, post_rots, post_trans, k2s = _geometry(b, n, h_img, w_img, seed=2)
+
+    def loss(prev, curr):
+        cv = stereo_cost_volume(
+            prev, curr, frustum, jnp.asarray(k2s), jnp.asarray(intr),
+            jnp.asarray(post_rots), jnp.asarray(post_trans), bias=5.0,
+            method="pallas")
+        # mix with a differentiable term so the grad isn't trivially zero
+        return jnp.sum(cv) + jnp.sum(curr ** 2)
+
+    g_prev, g_curr = jax.grad(loss, argnums=(0, 1))(prev, curr)
+    assert float(jnp.abs(g_prev).max()) == 0.0
+    np.testing.assert_allclose(np.asarray(g_curr), np.asarray(2 * curr),
+                               rtol=1e-6)
