@@ -67,6 +67,7 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_array_equal(out1, out2)
 
 
+@pytest.mark.slow        # subprocess CLI, ~13 s on the 1-core bench host
 def test_analyze_logs_cli(tmp_path):
     """analyze_logs plot + time over a synthetic metrics.jsonl."""
     import json
