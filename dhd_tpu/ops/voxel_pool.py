@@ -164,17 +164,24 @@ def mghs_pool(depth: jnp.ndarray, feat: jnp.ndarray, band_mask: jnp.ndarray,
             + (bg == 2) * bm[..., 2])
     gate = gate.reshape(-1, 1).astype(vals.dtype)
 
-    bev = jax.ops.segment_sum(vals, idx.seg_bev,
-                              num_segments=idx.num_seg_bev + 1)
-    vox = jax.ops.segment_sum(vals * gate, idx.seg_vox,
-                              num_segments=idx.num_seg_vox + 1)
-    bev = bev[:-1].reshape(b, dy, dx, vt.z_full.size, c)
-    vox = vox[:-1].reshape(b, dy, dx, dz, c)
-    # z-collapse of the main grid: Dz_full is 1 for DHD, so this is a squeeze;
-    # for generality sum-collapse like torch.cat(unbind(2)) would concat, but
-    # the main grid always has Dz=1 in every DHD config.
+    # ONE scatter serves both passes (scatter-add cost on TPU is per-row
+    # latency, so 2C-wide rows cost ~what C-wide rows do — the two separate
+    # scatters measured 11.9 + 10.9 ms/step at B=4):
+    # both halves scatter by the *z-clipped* voxel key (valid for every
+    # BEV-valid point); the BEV grid is the z-sum of the ungated half
+    # (exactly the Dz=1 collapse, since ok_vox implies ok_bev and the
+    # z-slot a clipped point lands in sums out), and the gated half zeroes
+    # points whose true z voxel is out of range.
     assert vt.z_full.size == 1, "main DHD grid is z-collapsed (Dz=1)"
-    return bev[..., 0, :], vox
+    gate_eff = gate * (idx.seg_vox != idx.num_seg_vox
+                       ).reshape(-1, 1).astype(vals.dtype)
+    both = jnp.concatenate([vals, vals * gate_eff], axis=-1)
+    out = jax.ops.segment_sum(both, idx.key,
+                              num_segments=idx.num_seg_vox + 1)
+    out = out[:-1].reshape(b, dy, dx, dz, 2 * c)
+    bev = jnp.sum(out[..., :c], axis=3)
+    vox = out[..., c:]
+    return bev, vox
 
 
 def build_pool_plan(idx: PoolIndices, vt: ViewTransformConfig,
