@@ -134,6 +134,73 @@ def occ_losses_fused(logits: jnp.ndarray, labels: jnp.ndarray,
     return loss_ce, loss_geo, loss_sem
 
 
+def occ_losses_fused_packed(flat_logits: jnp.ndarray, labels: jnp.ndarray,
+                            mask: jnp.ndarray, class_weight: jnp.ndarray,
+                            n_cls: int, free_class: int = 17):
+    """`occ_losses_fused` on *packed* (..., Dz*n_cls) logits.
+
+    Same math and results as :func:`occ_losses_fused` on the
+    (..., Dz, n_cls) view (parity-tested), but every elementwise pass runs
+    on the packed lane layout: a classes-minor fp32 tensor pads 18 lanes to
+    the 128-lane HBM tile — 7.1x the bytes on every read/write — and the
+    padded formulation measured 31.9 ms vs 14.5 ms for this one
+    (value+grad, B=4 DHD-S shapes).  The (..., Dz, n_cls) views below
+    exist only inside fusions (each feeds exactly one reduce), so the
+    padded layout never hits HBM.
+
+    Args:
+      flat_logits: (..., Dz*n_cls) packed logits (OccHead return_flat).
+      labels/mask: (..., Dz).
+      n_cls: classes per z slot.
+    Returns (loss_ce, loss_geo, loss_sem).
+    """
+    dz = flat_logits.shape[-1] // n_cls
+    x = flat_logits.reshape(-1, dz, n_cls).astype(jnp.float32)
+    labels = labels.reshape(-1, dz).astype(jnp.int32)
+    mask = mask.reshape(-1, dz).astype(jnp.float32)
+
+    # log-softmax over the class groups (jax.nn.log_softmax semantics:
+    # stop-gradient max subtraction)
+    m = jax.lax.stop_gradient(jnp.max(x, axis=-1))
+    xm = x - m[..., None]
+    lse = jnp.log(jnp.sum(jnp.exp(xm), axis=-1))          # (V, Dz)
+
+    oh = (labels[..., None] == jax.lax.iota(jnp.int32, n_cls)
+          ).astype(jnp.float32)                           # (V, Dz, n_cls)
+    logp_lab = jnp.sum(xm * oh, axis=-1) - lse            # (V, Dz)
+    w = jnp.sum(oh * class_weight, axis=-1) * mask
+    loss_ce = jnp.sum(-logp_lab * w) / jnp.maximum(jnp.sum(w), 1e-6)
+
+    probs = jnp.exp(xm - lse[..., None])
+    ohm = oh * mask[..., None]
+    sum_t = jnp.sum(ohm, axis=(0, 1))                     # (n_cls,)
+    sum_p = jnp.sum(probs * mask[..., None], axis=(0, 1))
+    inter = jnp.sum(probs * ohm, axis=(0, 1))
+    n_masked = jnp.sum(mask)
+
+    g_inter = n_masked - sum_t[free_class] - sum_p[free_class] \
+        + inter[free_class]
+    g_prec = g_inter / (n_masked - sum_p[free_class] + _EPS)
+    g_rec = g_inter / (n_masked - sum_t[free_class] + _EPS)
+    g_spec = inter[free_class] / (sum_t[free_class] + _EPS)
+    loss_geo = _neg_log(g_prec) + _neg_log(g_rec) + _neg_log(g_spec)
+
+    spec_num = n_masked - sum_p - sum_t + inter
+    spec_den = n_masked - sum_t
+    precision = inter / (sum_p + _EPS)
+    recall = inter / (sum_t + _EPS)
+    spec = spec_num / (spec_den + _EPS)
+    loss_c = (jnp.where(sum_p > 0, _neg_log(precision), 0.0)
+              + jnp.where(sum_t > 0, _neg_log(recall), 0.0)
+              + jnp.where(spec_den > 0, _neg_log(spec), 0.0))
+    present = (sum_t > 0).astype(jnp.float32)
+    present = present.at[free_class].set(0.0)
+    count = jnp.sum(present)
+    total = jnp.sum(loss_c * present)
+    loss_sem = jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
+    return loss_ce, loss_geo, loss_sem
+
+
 def sem_scal_loss(logits: jnp.ndarray, labels: jnp.ndarray,
                   mask: jnp.ndarray) -> jnp.ndarray:
     """Per-class precision/recall/specificity, averaged over classes present.

@@ -308,10 +308,18 @@ class DHDNet(nn.Module):
                     name="sfa")(jnp.concatenate([x_2d, x_3d], axis=-1), train)
         occ = OccHead(out_dim=cfg.head_out_dim, Dz=cfg.head_Dz,
                       num_classes=cfg.num_classes,
-                      use_predicter=cfg.use_predicter,
+                      use_predicter=cfg.use_predicter, return_flat=True,
                       dtype=self.dtype, name="occ_head")(fused, train)
+        occ = occ.astype(jnp.float32)         # packed (B, Dx, Dy, Dz*n_cls)
+        b_, dx_, dy_ = occ.shape[:3]
         return {
-            "occ_logits": occ.astype(jnp.float32),
+            # classes-minor view for eval/serving consumers; the train loss
+            # reads the packed form — the (..., Dz, 18) layout pads its
+            # minor dim to the 128-lane tile in HBM (7.1x the bytes), and
+            # the unused view is dead-code-eliminated from the train graph
+            "occ_logits": occ.reshape(b_, dx_, dy_, cfg.head_Dz,
+                                      cfg.num_classes),
+            "occ_logits_flat": occ,
             "depth": vt_out["depth"],
             "height": vt_out["height"],
         }

@@ -263,9 +263,10 @@ class DHDStereoNet(nn.Module):
         bev_cat = jnp.concatenate(bev_list, axis=-1)       # (B, Dy, Dx, F'*C)
         vox_cat = jnp.concatenate(vox_list, axis=-1)       # (B, Dz, Dy, Dx, F'*C)
 
-        occ = self._fuse_and_predict(bev_cat, vox_cat, train)
+        occ5, occ_flat = self._fuse_and_predict(bev_cat, vox_cat, train)
         return {
-            "occ_logits": occ,
+            "occ_logits": occ5,
+            "occ_logits_flat": occ_flat,
             "depth": depth_key,
             "height": height_key,
         }
@@ -291,9 +292,13 @@ class DHDStereoNet(nn.Module):
                     name="sfa")(jnp.concatenate([x_2d, x_3d], axis=-1), train)
         occ = OccHead(out_dim=cfg.head_out_dim, Dz=cfg.head_Dz,
                       num_classes=cfg.num_classes,
-                      use_predicter=cfg.use_predicter,
+                      use_predicter=cfg.use_predicter, return_flat=True,
                       dtype=self.dtype, name="occ_head")(fused, train)
-        return occ.astype(jnp.float32)
+        occ = occ.astype(jnp.float32)        # packed (B, Dx, Dy, Dz*n_cls)
+        b_, dx_, dy_ = occ.shape[:3]
+        # classes-minor view + packed form (see models/dhd.py: the packed
+        # form keeps the train loss off the 128-lane-padded (..., 18) tiles)
+        return occ.reshape(b_, dx_, dy_, cfg.head_Dz, cfg.num_classes), occ
 
     def _streaming(self, batch, cache, train):
         """One streaming step: current frame only + cached previous state.
@@ -396,15 +401,15 @@ class DHDStereoNet(nn.Module):
 
         bev_cat = jnp.concatenate([prev_bev, bev], axis=-1)
         vox_cat = jnp.concatenate([prev_vox, vox], axis=-1)
-        occ = self._fuse_and_predict(bev_cat, vox_cat, train)
+        occ5, occ_flat = self._fuse_and_predict(bev_cat, vox_cat, train)
         new_cache = {
             "stereo_feat": sfeat,
             "bev": bev,
             "vox": vox,
             "cam2global": cam2global.astype(jnp.float32),
         }
-        return ({"occ_logits": occ, "depth": out["depth"],
-                 "height": out["height"]}, new_cache)
+        return ({"occ_logits": occ5, "occ_logits_flat": occ_flat,
+                 "depth": out["depth"], "height": out["height"]}, new_cache)
 
 
 def build_stream_pool_plan(cfg: ModelConfig, batch: Dict[str, jnp.ndarray]

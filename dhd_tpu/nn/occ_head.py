@@ -16,10 +16,15 @@ Dtype = Any
 
 
 class OccHead(nn.Module):
+    """``return_flat`` keeps the output packed as (B, Dx, Dy, Dz*n_cls):
+    the (..., Dz, 18) view pads its minor dim to the 128-lane tile in HBM
+    (7.1x the bytes), so the train path consumes the packed form and only
+    reshapes where a consumer actually needs classes-minor."""
     out_dim: int = 256
     Dz: int = 16
     num_classes: int = 18
     use_predicter: bool = True
+    return_flat: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -40,6 +45,7 @@ class OccHead(nn.Module):
             x = jax.nn.softplus(x)
             x = nn.Dense(self.num_classes * self.Dz, dtype=self.dtype,
                          name="fc1")(x)
-            b, dx_, dy_ = x.shape[:3]
-            x = x.reshape(b, dx_, dy_, self.Dz, self.num_classes)
-        return x
+        if self.return_flat:
+            return x
+        b, dx_, dy_ = x.shape[:3]
+        return x.reshape(b, dx_, dy_, self.Dz, self.num_classes)

@@ -17,7 +17,8 @@ from flax import struct
 
 from dhd_tpu.config import ModelConfig, class_weights
 from dhd_tpu.losses import (
-    bce_distribution_loss, depth_height_labels, occ_losses_fused)
+    bce_distribution_loss, depth_height_labels, occ_losses_fused,
+    occ_losses_fused_packed)
 
 
 class TrainState(struct.PyTreeNode):
@@ -51,14 +52,20 @@ def total_loss(cfg: ModelConfig, out: Dict[str, jnp.ndarray],
         losses["loss_depth"] = lc.loss_depth_weight * bce_distribution_loss(
             out["depth"], d_labels, fg)
 
-    logits = out["occ_logits"]
     sem = batch["voxel_semantics"]
     mask = batch["mask_camera"]
     cw = jnp.asarray(class_weights(lc.num_classes), jnp.float32)
-    # one softmax pass serves all three losses (HBM-bandwidth win; equal
-    # to the separate occ_ce/sem_scal/geo_scal calls — tests/test_losses.py)
-    l_ce, l_geo, l_sem = occ_losses_fused(logits, sem, mask, cw,
-                                          free_class=lc.free_class)
+    # one softmax pass serves all three losses (equal to the separate
+    # occ_ce/sem_scal/geo_scal calls — tests/test_losses.py); prefer the
+    # packed (..., Dz*n_cls) logits — the classes-minor view pads 18 lanes
+    # to the 128-lane HBM tile, 7.1x the loss traffic (occ_loss.py)
+    if "occ_logits_flat" in out:
+        l_ce, l_geo, l_sem = occ_losses_fused_packed(
+            out["occ_logits_flat"], sem, mask, cw, lc.num_classes,
+            free_class=lc.free_class)
+    else:
+        l_ce, l_geo, l_sem = occ_losses_fused(out["occ_logits"], sem, mask,
+                                              cw, free_class=lc.free_class)
     losses["loss_occ"] = lc.weight_ce * l_ce
     losses["loss_voxel_sem_scal"] = lc.weight_sem * l_sem
     losses["loss_voxel_geo_scal"] = lc.weight_geo * l_geo

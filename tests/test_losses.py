@@ -158,3 +158,33 @@ def test_depth_height_labels_pipeline():
     assert fg.shape == (1, 2, 2, 2)
     # every fg pixel has exactly one depth bin
     assert np.all(np.asarray(d_lab).sum(-1)[np.asarray(fg)] == 1.0)
+
+
+def test_packed_fused_matches_unpacked():
+    """occ_losses_fused_packed on (V, Dz*n_cls) == occ_losses_fused on the
+    (V, Dz, n_cls) view — values and grads (the packed form keeps the train
+    loss off the 128-lane-padded classes-minor tiles)."""
+    import jax
+    from dhd_tpu.losses import occ_losses_fused_packed
+    rng = np.random.default_rng(9)
+    v, dz, n_cls = 300, 4, 18
+    flat = jnp.asarray(rng.normal(0, 2, (v, dz * n_cls)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, n_cls, (v, dz)).astype(np.int32))
+    mask = jnp.asarray((rng.random((v, dz)) < 0.6).astype(np.float32))
+    w = jnp.asarray(class_weights(), jnp.float32)
+
+    def unpacked(x):
+        return occ_losses_fused(x.reshape(v, dz, n_cls), labels, mask, w,
+                                free_class=17)
+
+    def packed(x):
+        return occ_losses_fused_packed(x, labels, mask, w, n_cls,
+                                       free_class=17)
+
+    vu, vp = unpacked(flat), packed(flat)
+    for a, b in zip(vu, vp):
+        assert np.isclose(float(a), float(b), rtol=1e-5), (vu, vp)
+    gu = jax.grad(lambda x: sum(unpacked(x)))(flat)
+    gp = jax.grad(lambda x: sum(packed(x)))(flat)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(gp),
+                               rtol=1e-4, atol=1e-6)
