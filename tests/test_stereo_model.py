@@ -169,3 +169,36 @@ def test_uncollapse_inverts_collapse():
         0, 1, (2, 6, 6, 4, 3)).astype(np.float32))
     np.testing.assert_array_equal(
         np.asarray(uncollapse_z(collapse_z(x), 4)), np.asarray(x))
+
+
+def test_streaming_pool_plan_matches_planless(stereo_setup):
+    """batch["pool_plan"] (fixed-rig streaming serving) must reproduce the
+    plan-less streaming output: the plan only precomputes the geometry-side
+    sort/visit tables, so predictions are identical up to the pooling
+    backend's accumulation order."""
+    from dhd_tpu.models.dhd_stereo import build_stream_pool_plan
+    cfg, model, batch, variables = stereo_setup
+    sbatch = {
+        "imgs": batch["imgs"][:, 0],
+        "sensor2ego": batch["sensor2ego"][:, 0],
+        "ego2global": batch["ego2global"][:, 0],
+        "intrins": batch["intrins"][:, 0],
+        "post_rots": batch["post_rots"][:, 0],
+        "post_trans": batch["post_trans"][:, 0],
+        "bda": batch["bda"],
+    }
+    out_ref, cache_ref = model.apply(variables, sbatch, train=False,
+                                     cache={})
+    sbatch_p = dict(sbatch)
+    sbatch_p["pool_plan"] = build_stream_pool_plan(cfg, sbatch)
+    out_p, cache_p = model.apply(variables, sbatch_p, train=False, cache={})
+    np.testing.assert_allclose(np.asarray(out_p["occ_logits"]),
+                               np.asarray(out_ref["occ_logits"]),
+                               atol=2e-2, rtol=1e-3)
+    # and a second step through the cache
+    out2_ref, _ = model.apply(variables, sbatch, train=False,
+                              cache=cache_ref)
+    out2_p, _ = model.apply(variables, sbatch_p, train=False, cache=cache_p)
+    np.testing.assert_allclose(np.asarray(out2_p["occ_logits"]),
+                               np.asarray(out2_ref["occ_logits"]),
+                               atol=2e-2, rtol=1e-3)
