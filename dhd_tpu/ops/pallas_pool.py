@@ -292,6 +292,13 @@ def mghs_pool_sorted_dual(vals_sorted: jnp.ndarray, segv_sorted: jnp.ndarray,
                           tables=None):
     """Fused vox+bev pooling over points sorted by z-minor voxel key.
 
+    Differentiable wrt ``vals_sorted`` via custom_vjp (the transpose of a
+    dual segment-sum is two gathers), so training with a precomputed
+    pooling plan works — e.g. a pod host loader shipping plans with each
+    batch.  pallas_call itself has no JVP rule; without the custom_vjp a
+    train step through this path dies in linearization (the cost-volume
+    kernel had exactly that bug).
+
     Args:
       vals_sorted: (P, C) depth*feat products in sorted order.
       segv_sorted: (P,) int32 fine-voxel ids (z-minor: pillar*dz + z), with
@@ -306,6 +313,46 @@ def mghs_pool_sorted_dual(vals_sorted: jnp.ndarray, segv_sorted: jnp.ndarray,
     Returns:
       vox (num_vox, C), bev (num_vox // dz, C) in out_dtype.
     """
+    if tables is None:
+        tables = dual_visit_tables(key_sorted, num_vox, block_v, chunk_p)
+    return _dual_vjp(vals_sorted, segv_sorted, segb_sorted, key_sorted,
+                     tuple(tables), num_vox, dz, interpret, block_v,
+                     chunk_p, out_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _dual_vjp(vals_sorted, segv_sorted, segb_sorted, key_sorted, tables,
+              num_vox, dz, interpret, block_v, chunk_p, out_dtype):
+    return _dual_impl(vals_sorted, segv_sorted, segb_sorted, key_sorted,
+                      num_vox, dz, interpret, block_v, chunk_p, out_dtype,
+                      tables)
+
+
+def _dual_fwd(vals_sorted, segv_sorted, segb_sorted, key_sorted, tables,
+              num_vox, dz, interpret, block_v, chunk_p, out_dtype):
+    out = _dual_vjp(vals_sorted, segv_sorted, segb_sorted, key_sorted,
+                    tables, num_vox, dz, interpret, block_v, chunk_p,
+                    out_dtype)
+    return out, (segv_sorted, segb_sorted)
+
+
+def _dual_bwd(num_vox, dz, interpret, block_v, chunk_p, out_dtype, res, g):
+    segv, segb = res
+    g_vox, g_bev = g
+    num_bev = num_vox // dz
+    dvox = jnp.take(g_vox, jnp.clip(segv, 0, num_vox - 1), axis=0)
+    dvox = jnp.where((segv < num_vox)[:, None], dvox, 0)
+    dbev = jnp.take(g_bev, jnp.clip(segb, 0, num_bev - 1), axis=0)
+    dbev = jnp.where((segb < num_bev)[:, None], dbev, 0)
+    return (dvox + dbev, None, None, None, None)
+
+
+_dual_vjp.defvjp(_dual_fwd, _dual_bwd)
+
+
+def _dual_impl(vals_sorted, segv_sorted, segb_sorted, key_sorted,
+               num_vox: int, dz: int, interpret: bool, block_v: int,
+               chunk_p: int, out_dtype, tables):
     p, c_in = vals_sorted.shape
     c = max(128, ((c_in + 127) // 128) * 128)
     pack = 2 if c_in <= c // 2 and block_v % 2 == 0 else 1

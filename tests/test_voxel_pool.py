@@ -198,3 +198,35 @@ def test_truncation_boundary_semantics():
     coords[..., 2] = 0.0
     idx = compute_pool_indices(jnp.asarray(coords), vt)
     assert int((idx.seg_bev < idx.num_seg_bev).sum()) == vt.D * fh * fw
+
+
+def test_mghs_pool_pallas_grads_match_xla():
+    """Training THROUGH the kernel path (precomputed plan in a train batch,
+    e.g. a pod loader shipping plans) must give the XLA path's gradients:
+    the dual kernel carries a custom_vjp whose backward is two gathers."""
+    vt = _tiny_vt()
+    depth, feat, coords, band_mask = _random_inputs(vt, seed=9)
+    idx = compute_pool_indices(jnp.asarray(coords), vt)
+    from dhd_tpu.ops import build_pool_plan, mghs_pool_pallas
+    plan = build_pool_plan(idx, vt, depth.shape)
+    depth_px = jnp.transpose(jnp.asarray(depth), (0, 1, 3, 4, 2))
+    bm = jnp.asarray(band_mask)
+
+    def loss_pallas(depth_px, feat):
+        bev, vox = mghs_pool_pallas(depth_px, feat, bm, None, vt,
+                                    interpret=True, plan=plan)
+        return jnp.sum(bev.astype(jnp.float32) ** 2) \
+            + jnp.sum(vox.astype(jnp.float32) ** 2)
+
+    def loss_xla(depth, feat):
+        bev, vox = mghs_pool(depth, feat, bm, idx, vt)
+        return jnp.sum(bev ** 2) + jnp.sum(vox ** 2)
+
+    gd_p, gf_p = jax.grad(loss_pallas, argnums=(0, 1))(
+        depth_px, jnp.asarray(feat))
+    gd_x, gf_x = jax.grad(loss_xla, argnums=(0, 1))(
+        jnp.asarray(depth), jnp.asarray(feat))
+    np.testing.assert_allclose(np.asarray(jnp.transpose(gd_p, (0, 1, 4, 2, 3))),
+                               np.asarray(gd_x), atol=2e-2, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x),
+                               atol=2e-2, rtol=1e-3)
