@@ -86,32 +86,49 @@ def _kernel(rc0_ref, prev_hbm_ref, curr_ref, uf_ref, vf_ref, out_ref,
     colw = (lin4 % wc).astype(jnp.float32)
     roww = (lin4 // wc).astype(jnp.float32)
 
-    def body(d, carry):
-        lin = ((bn * n_d + d) * n_h + h) * n_t + t
-        # r0/c0 packed as (r0 << 16 | c0): the whole scalar-prefetch array
-        # must fit SMEM (1 MB), and DHD-L's BN*D*H*T is 203k entries
-        rc0 = rc0_ref[lin]
-        r0 = jax.lax.shift_right_logical(rc0, 16)
-        # the plan aligns c0 to 8 (sublane granularity); Mosaic needs the
-        # proof spelled out for the dynamic sublane-dim slice
-        c0 = pl.multiple_of(jax.lax.bitwise_and(rc0, 0xFFFF), 8)
-        uf = uf_ref[0, 0, 0, d, :] - c0.astype(jnp.float32)    # (128,)
-        vf = vf_ref[0, 0, 0, d, :] - r0.astype(jnp.float32)
-        w = (jnp.maximum(1.0 - jnp.abs(colw - uf[:, None]), 0.0)
-             * jnp.maximum(1.0 - jnp.abs(roww - vf[:, None]), 0.0))
-        src = prev_ref[pl.ds(r0, WIN_ROWS), pl.ds(c0, wc), :] \
-            .reshape(WIN_ROWS * wc, curr.shape[-1])
-        acc = jnp.dot(w.astype(src.dtype), src,
-                      preferred_element_type=jnp.float32)
-        cost = jnp.sum(jnp.abs(curr - acc), axis=-1)           # (128,)
-        # invalid where the warp sampled outside / behind the camera: every
-        # tap weight is zero there, so the fp32 accumulator is exactly 0
-        # (channel-0 quirk as in the XLA path / depthnet.py:354-356)
-        invalid = acc[:, 0] == 0.0
-        out_ref[0, 0, 0, d, :] = jnp.where(invalid, cost + bias, cost)
+    # Unroll several depths per fori_loop iteration and batch the
+    # dynamic-index memory traffic per group (one (U, 128) uf/vf load and
+    # one (U, 128) out store instead of U of each): ablation on DHD-L
+    # shapes showed ~100 of 135 ms was loop-iteration overhead + dynamic
+    # single-row loads/stores, NOT the weight build (~0 ms) or the warp
+    # matmul (~35 ms).  Unrolling is numerically identical.
+    unroll = 8
+    while n_d % unroll:
+        unroll //= 2
+
+    def body(i, carry):
+        d0 = i * unroll
+        uf8 = uf_ref[0, 0, 0, pl.ds(d0, unroll), :]         # (U, 128)
+        vf8 = vf_ref[0, 0, 0, pl.ds(d0, unroll), :]
+        rows = []
+        for j in range(unroll):
+            d = d0 + j
+            lin = ((bn * n_d + d) * n_h + h) * n_t + t
+            # r0/c0 packed as (r0 << 16 | c0): the whole scalar-prefetch
+            # array must fit SMEM (1 MB), and DHD-L's BN*D*H*T is 203k
+            rc0 = rc0_ref[lin]
+            r0 = jax.lax.shift_right_logical(rc0, 16)
+            # the plan aligns c0 to 8 (sublane granularity); Mosaic needs
+            # the proof spelled out for the dynamic sublane-dim slice
+            c0 = pl.multiple_of(jax.lax.bitwise_and(rc0, 0xFFFF), 8)
+            uf = uf8[j] - c0.astype(jnp.float32)             # (128,)
+            vf = vf8[j] - r0.astype(jnp.float32)
+            w = (jnp.maximum(1.0 - jnp.abs(colw - uf[:, None]), 0.0)
+                 * jnp.maximum(1.0 - jnp.abs(roww - vf[:, None]), 0.0))
+            src = prev_ref[pl.ds(r0, WIN_ROWS), pl.ds(c0, wc), :] \
+                .reshape(WIN_ROWS * wc, curr.shape[-1])
+            acc = jnp.dot(w.astype(src.dtype), src,
+                          preferred_element_type=jnp.float32)
+            cost = jnp.sum(jnp.abs(curr - acc), axis=-1)     # (128,)
+            # invalid where the warp sampled outside / behind the camera:
+            # every tap weight is zero there, so the fp32 accumulator is
+            # exactly 0 (channel-0 quirk, depthnet.py:354-356)
+            invalid = acc[:, 0] == 0.0
+            rows.append(jnp.where(invalid, cost + bias, cost))
+        out_ref[0, 0, 0, pl.ds(d0, unroll), :] = jnp.stack(rows, axis=0)
         return carry
 
-    jax.lax.fori_loop(0, n_d, body, 0)
+    jax.lax.fori_loop(0, n_d // unroll, body, 0)
 
 
 def build_cv_plan(frustum: jnp.ndarray, k2s_sensor: jnp.ndarray,
