@@ -188,9 +188,17 @@ def build_cv_plan(frustum: jnp.ndarray, k2s_sensor: jnp.ndarray,
         .reshape(b * n, d, hs, n_t, TILE_W)
     span = jnp.nanmax(
         jnp.nanmax(u_fin, axis=-1) - jnp.nanmin(u_fin, axis=-1))
+    # row-direction analogue: the 4-row window clips taps when the
+    # epipolar line tilts more than ~2 rows across a 128-wide tile
+    # (in-plane rotation); must be <= WIN_ROWS - 2 for exactness.  The
+    # XLA fallback (cv_method='xla') is exact for any geometry.
+    v_fin = jnp.where(vf <= -1e3, jnp.nan, vf) \
+        .reshape(b * n, d, hs, n_t, TILE_W)
+    rspan = jnp.nanmax(
+        jnp.nanmax(v_fin, axis=-1) - jnp.nanmin(v_fin, axis=-1))
     rc0 = jax.lax.shift_left(r0, 16) | c0
     return {"uf": uf, "vf": vf, "rc0": rc0.reshape(-1),
-            "span": span, "wc": wc, "wpad": wpad}
+            "span": span, "rspan": rspan, "wc": wc, "wpad": wpad}
 
 
 @functools.partial(jax.jit, static_argnames=("bias", "window_cols",
