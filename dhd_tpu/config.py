@@ -194,10 +194,14 @@ class ModelConfig:
     # XLA); 'xla' / 'pallas' force one
     pool_method: str = "auto"
     # stereo cost-volume backend: 'auto' = MXU Pallas kernel on TPU, XLA
-    # gather elsewhere; window width covers one 128-wide output tile's
-    # source span + disparity/rotation slack (ops/cost_volume_pallas.py)
+    # gather elsewhere.  cv_win_rows is the Pallas warp's source-row
+    # window: 2 suffices for rigs with no in-plane inter-frame rotation;
+    # each extra row tolerates one more row of tap drift across a
+    # 128-wide tile (~0.45 deg of roll).  Validate a real rig once via
+    # ops.cost_volume_pallas.validate_cv_plan — cv_method='xla' is exact
+    # for any geometry.
     cv_method: str = "auto"
-    cv_window_cols: int = 192
+    cv_win_rows: int = 2
 
     @property
     def num_frames(self) -> int:

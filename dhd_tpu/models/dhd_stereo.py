@@ -213,7 +213,7 @@ class DHDStereoNet(nn.Module):
                         batch["post_trans"][:, fid],
                         bias=cfg.depthnet_cfg.bias,
                         method=cfg.cv_method,
-                        window_cols=cfg.cv_window_cols)
+                        win_rows=cfg.cv_win_rows)
                     # DepthNet's cost_volumn_net consumes (B*N, Hs, Ws, D)
                     cost_volume = jnp.transpose(
                         cv.reshape(b * n, vt.D, hs, ws), (0, 2, 3, 1)
@@ -359,7 +359,7 @@ class DHDStereoNet(nn.Module):
                     cv_frustum, k2s, batch["intrins"],
                     batch["post_rots"], batch["post_trans"],
                     bias=cfg.depthnet_cfg.bias, method=cfg.cv_method,
-                    window_cols=cfg.cv_window_cols)
+                    win_rows=cfg.cv_win_rows)
                 cost_volume = jnp.transpose(
                     cv.reshape(b * n, vt.D, hs, ws), (0, 2, 3, 1)
                 ).astype(self.dtype)

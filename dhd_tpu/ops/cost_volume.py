@@ -63,7 +63,7 @@ def stereo_cost_volume(prev_feat: jnp.ndarray, curr_feat: jnp.ndarray,
                        intrins: jnp.ndarray, post_rots: jnp.ndarray,
                        post_trans: jnp.ndarray, bias: float = 0.0,
                        depth_chunk: int = 8, method: str = "auto",
-                       window_cols: int = 192) -> jnp.ndarray:
+                       win_rows: int = 2) -> jnp.ndarray:
     """Softmaxed depth probability volume from two stereo feature maps.
 
     Args:
@@ -76,7 +76,9 @@ def stereo_cost_volume(prev_feat: jnp.ndarray, curr_feat: jnp.ndarray,
         down to a divisor of D; XLA path only).
       method: 'auto' (MXU Pallas kernel on TPU, XLA gather elsewhere),
         'xla', or 'pallas'.
-      window_cols: Pallas warp window width (see cost_volume_pallas).
+      win_rows: Pallas warp row window height (2 = no in-plane inter-frame
+        rotation, the nuScenes rig; raise for rigs with roll — see
+        cost_volume_pallas.validate_cv_plan).
     Returns:
       (B, N, D, Hs, Ws) cost-volume probabilities (stop-gradient).
     """
@@ -94,7 +96,7 @@ def stereo_cost_volume(prev_feat: jnp.ndarray, curr_feat: jnp.ndarray,
         from .cost_volume_pallas import stereo_cost_volume_pallas
         return stereo_cost_volume_pallas(
             prev_feat, curr_feat, frustum, k2s_sensor, intrins, post_rots,
-            post_trans, bias=bias, window_cols=window_cols,
+            post_trans, bias=bias, win_rows=win_rows,
             interpret=jax.default_backend() != "tpu")
     b, n, hs, ws, c = curr_feat.shape
     d = frustum.shape[0]

@@ -1,9 +1,10 @@
 """Pallas cost-volume kernel vs the XLA gather path (interpret mode on CPU).
 
 Same geometry style as test_oracle_parity.test_depthnet_stereo_parity: a
-mild inter-frame rotation + translation, so tap spans stay well inside the
-window and the kernel's windowed bilinear warp is exactly the zero-padded
-grid_sample the XLA path computes.
+mild inter-frame rotation + translation.  The kernel's row-windowed bilinear
+warp equals the zero-padded grid_sample the XLA path computes whenever the
+plan's required row window fits the compiled win_rows — which is what
+validate_cv_plan checks, and what these tests pin.
 """
 import numpy as np
 import pytest
@@ -14,11 +15,11 @@ import jax.numpy as jnp
 from dhd_tpu.geometry import create_frustum
 from dhd_tpu.config import GridConfig
 from dhd_tpu.ops.cost_volume import stereo_cost_volume
-from dhd_tpu.ops.cost_volume_pallas import (build_cv_plan,
+from dhd_tpu.ops.cost_volume_pallas import (build_cv_plan, validate_cv_plan,
                                             stereo_cost_volume_pallas)
 
 
-def _geometry(b, n, h_img, w_img, seed=7):
+def _geometry(b, n, h_img, w_img, seed=7, rot=True):
     rng = np.random.default_rng(seed)
     intr = np.zeros((b, n, 3, 3), np.float32)
     intr[..., 0, 0] = intr[..., 1, 1] = w_img * 0.8
@@ -32,12 +33,21 @@ def _geometry(b, n, h_img, w_img, seed=7):
     k2s = np.broadcast_to(np.eye(4, dtype=np.float32), (b, n, 4, 4)).copy()
     for bi in range(b):
         for ni in range(n):
-            th = rng.uniform(-0.02, 0.02)
+            th = rng.uniform(-0.02, 0.02) if rot else 0.0
             c, s = np.cos(th), np.sin(th)
             k2s[bi, ni, :3, :3] = np.array(
                 [[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
             k2s[bi, ni, :3, 3] = rng.uniform(-0.3, 0.3, 3)
     return intr, post_rots, post_trans, k2s
+
+
+def _build_plan(frustum, k2s, intr, post_rots, post_trans, hs, ws,
+                win_rows=2):
+    return jax.jit(build_cv_plan,
+                   static_argnames=("hs", "ws", "win_rows"))(
+        jnp.asarray(np.asarray(frustum, np.float32)), jnp.asarray(k2s),
+        jnp.asarray(intr), jnp.asarray(post_rots), jnp.asarray(post_trans),
+        hs=hs, ws=ws, win_rows=win_rows)
 
 
 @pytest.mark.parametrize("ws", [24, 48])
@@ -53,42 +63,71 @@ def test_cost_volume_pallas_matches_xla(ws):
     curr = rng.normal(0, 1, (b, n, hs, ws, cs)).astype(np.float32)
     intr, post_rots, post_trans, k2s = _geometry(b, n, h_img, w_img)
 
+    # the ~1 deg yaw tilts the epipolar lines: this rig needs a 3-row warp
+    # window (validate_cv_plan is the serving-setup guard for exactly this)
+    plan = _build_plan(frustum, k2s, intr, post_rots, post_trans, hs, ws,
+                       win_rows=2)
+    assert not validate_cv_plan(plan)["ok"]
+    win_rows = validate_cv_plan(plan)["wr_req"]
+    assert win_rows == 3
+
     args = (jnp.asarray(prev), jnp.asarray(curr),
             jnp.asarray(np.asarray(frustum, np.float32)), jnp.asarray(k2s),
             jnp.asarray(intr), jnp.asarray(post_rots),
             jnp.asarray(post_trans))
     ref = stereo_cost_volume(*args, bias=5.0)
-    out = stereo_cost_volume_pallas(*args, bias=5.0, interpret=True)
-    assert out.shape == ref.shape
+    for wr in (win_rows, 4):
+        out = stereo_cost_volume_pallas(*args, bias=5.0, win_rows=wr,
+                                        interpret=True)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_cost_volume_pallas_two_row_fast_path():
+    """win_rows=2 (the nuScenes-rig fast path) is exact when the rig has no
+    in-plane inter-frame rotation, and validate_cv_plan certifies it."""
+    b, n, cs, hs, ws = 1, 2, 8, 16, 48
+    h_img, w_img = hs * 4, ws * 4
+    depth_grid = GridConfig(1.0, 9.0, 0.5)          # D=16
+    frustum = create_frustum(depth_grid, (h_img, w_img), downsample=4)
+    intr, post_rots, post_trans, k2s = _geometry(b, n, h_img, w_img,
+                                                 seed=9, rot=False)
+    plan = _build_plan(frustum, k2s, intr, post_rots, post_trans, hs, ws,
+                       win_rows=2)
+    v = validate_cv_plan(plan)
+    assert v["ok"] and v["wr_req"] <= 2
+
+    rng = np.random.default_rng(4)
+    prev = rng.normal(0, 1, (b, n, hs, ws, cs)).astype(np.float32)
+    curr = rng.normal(0, 1, (b, n, hs, ws, cs)).astype(np.float32)
+    args = (jnp.asarray(prev), jnp.asarray(curr),
+            jnp.asarray(np.asarray(frustum, np.float32)), jnp.asarray(k2s),
+            jnp.asarray(intr), jnp.asarray(post_rots),
+            jnp.asarray(post_trans))
+    ref = stereo_cost_volume(*args, bias=5.0)
+    out = stereo_cost_volume_pallas(*args, bias=5.0, win_rows=2,
+                                    interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
 
 
-def test_cv_plan_span_and_windowing():
-    """Windowed mode (Wc < Ws, the DHD-L shape class): origins stay in
-    range, the reported span fits the window, and the windowed kernel
-    matches XLA exactly.  A 128-wide output tile always reads ~128 source
-    columns (the warp is near-identity in x), so the window only has to
-    absorb the disparity + rotation slack on top of TILE_W."""
+def test_cv_plan_multi_tile():
+    """Multi-column-tile shape (Ws > 128, the DHD-L shape class): window
+    origins stay in range, the required-row diagnostic certifies the fit,
+    and the kernel matches XLA exactly across tile boundaries."""
     b, n, cs, hs, ws = 1, 1, 8, 8, 256
     h_img, w_img = hs * 4, ws * 4
     depth_grid = GridConfig(1.0, 9.0, 1.0)          # D=8
     frustum = create_frustum(depth_grid, (h_img, w_img), downsample=4)
     intr, post_rots, post_trans, k2s = _geometry(b, n, h_img, w_img, seed=1)
 
-    plan = jax.jit(build_cv_plan, static_argnames=("hs", "ws", "window_cols")
-                   )(jnp.asarray(np.asarray(frustum, np.float32)),
-                     jnp.asarray(k2s), jnp.asarray(intr),
-                     jnp.asarray(post_rots), jnp.asarray(post_trans),
-                     hs=hs, ws=ws, window_cols=192)
-    assert plan["wc"] == 192
-    rc0 = np.asarray(plan["rc0"])
-    r0, c0 = rc0 >> 16, rc0 & 0xFFFF
+    plan = _build_plan(frustum, k2s, intr, post_rots, post_trans, hs, ws,
+                       win_rows=4)
+    r0 = np.asarray(plan["r0"])
     assert r0.min() >= 0 and r0.max() <= hs - 4
-    assert c0.min() >= 0 and c0.max() <= ws - 192 and np.all(c0 % 8 == 0)
-    # mild inter-frame motion: per-tile tap span must fit the window with
-    # the 8-column alignment slack to spare (the exactness precondition)
-    assert 0 < float(plan["span"]) <= 192 - 9
+    v = validate_cv_plan(plan)
+    assert v["ok"] and v["wr_req"] <= 4
 
     rng = np.random.default_rng(5)
     prev = rng.normal(0, 1, (b, n, hs, ws, cs)).astype(np.float32)
@@ -98,7 +137,7 @@ def test_cv_plan_span_and_windowing():
             jnp.asarray(intr), jnp.asarray(post_rots),
             jnp.asarray(post_trans))
     ref = stereo_cost_volume(*args, bias=5.0)
-    out = stereo_cost_volume_pallas(*args, bias=5.0, window_cols=192,
+    out = stereo_cost_volume_pallas(*args, bias=5.0, win_rows=4,
                                     interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
@@ -126,7 +165,7 @@ def test_cost_volume_pallas_under_grad():
         cv = stereo_cost_volume(
             prev, curr, frustum, jnp.asarray(k2s), jnp.asarray(intr),
             jnp.asarray(post_rots), jnp.asarray(post_trans), bias=5.0,
-            method="pallas")
+            method="pallas", win_rows=4)
         # mix with a differentiable term so the grad isn't trivially zero
         return jnp.sum(cv) + jnp.sum(curr ** 2)
 
