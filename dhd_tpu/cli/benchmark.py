@@ -70,6 +70,15 @@ def main():
         tb = {k: jnp.asarray(v)
               for k, v in synthetic_batch(cfg, args.batch_size,
                                           with_gt=False).items()}
+        if cfg.stereo:
+            # serving-setup guard: certify the Pallas cost-volume window
+            # against the rig's inter-frame geometry (ADVICE r3) — falls
+            # back to the exact XLA path instead of silently clipping
+            import dataclasses
+            from dhd_tpu.models.dhd_stereo import resolve_cv_method
+            cfg = dataclasses.replace(cfg,
+                                      cv_method=resolve_cv_method(cfg, tb))
+            model = build_model(cfg, dtype=dt)
         sbatch = {"imgs": tb["imgs"][:, 0],
                   "sensor2ego": tb["sensor2ego"][:, 0],
                   "ego2global": tb["ego2global"][:, 0],

@@ -87,6 +87,15 @@ def main():
     first = next(it)
     it = itertools.chain([first], it)
     example = {k: jnp.asarray(v) for k, v in first[1].items()}
+    if cfg.stereo:
+        # serving-setup guard: certify the Pallas cost-volume row window
+        # against this rig's actual inter-frame geometry (falls back to
+        # the exact XLA path instead of silently clipping taps)
+        import dataclasses
+        from dhd_tpu.models.dhd_stereo import resolve_cv_method
+        cfg = dataclasses.replace(cfg,
+                                  cv_method=resolve_cv_method(cfg, example))
+        model = build_model(cfg, dtype=dtype)
     if args.checkpoint and args.checkpoint.endswith(".pth"):
         from dhd_tpu.io.convert import load_torch_checkpoint
         variables = load_torch_checkpoint(args.checkpoint, cfg)

@@ -80,58 +80,17 @@ def occ_losses_fused(logits: jnp.ndarray, labels: jnp.ndarray,
     (B*200*200*16*18 fp32), so the duplicate softmax forward+backward
     passes are pure memory traffic.
 
+    Implemented as the Dz=1 grouping of :func:`occ_losses_fused_packed`
+    (bit-identical: the one-hot-selected ``logp`` entry and the grouped
+    log-softmax reduce to the same fp ops), so the CE/geo/sem math lives
+    in exactly one place.
+
     Returns (loss_ce, loss_geo, loss_sem).
     """
     n_cls = logits.shape[-1]
-    logits = logits.reshape(-1, n_cls).astype(jnp.float32)
-    labels = labels.reshape(-1).astype(jnp.int32)
-    mask = mask.reshape(-1).astype(jnp.float32)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    probs = jnp.exp(logp)
-
-    # --- CE (occ_head.py:102-139) ---
-    # Everything label-indexed goes through ONE compare-based one-hot that
-    # fuses into the logp pass: per-element gathers run ~7 cycles/element
-    # on v5e, and the take_along_axis CE term + class_weight[labels] lookup
-    # measured 35.8 + 6.7 ms/step at B=4 — 13% of the whole train step.
-    oh = (labels[:, None] == jax.lax.iota(jnp.int32, n_cls)[None, :]
-          ).astype(jnp.float32)
-    ce = -jnp.sum(logp * oh, axis=-1)
-    w = jnp.sum(oh * class_weight[None, :], axis=-1) * mask
-    loss_ce = jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1e-6)
-
-    # shared per-class reductions: one fused pass over probs
-    onehot = oh * mask[:, None]
-    sum_t = jnp.sum(onehot, axis=0)                       # (n_cls,)
-    sum_p = jnp.sum(probs * mask[:, None], axis=0)        # (n_cls,)
-    inter = jnp.sum(probs * onehot, axis=0)               # (n_cls,)
-    n_masked = jnp.sum(mask)
-
-    # --- geo scal (semkitti_loss.py:136-168) ---
-    # nonempty_p = 1 - probs[:, free]; its masked sums follow from the
-    # per-class reductions (Σ mask - Σ_masked p_free etc.).
-    g_inter = n_masked - sum_t[free_class] - sum_p[free_class] \
-        + inter[free_class]                     # Σ nonempty_t * nonempty_p
-    g_prec = g_inter / (n_masked - sum_p[free_class] + _EPS)
-    g_rec = g_inter / (n_masked - sum_t[free_class] + _EPS)
-    g_spec = inter[free_class] / (sum_t[free_class] + _EPS)
-    loss_geo = _neg_log(g_prec) + _neg_log(g_rec) + _neg_log(g_spec)
-
-    # --- sem scal (semkitti_loss.py:170-226) ---
-    spec_num = n_masked - sum_p - sum_t + inter
-    spec_den = n_masked - sum_t
-    precision = inter / (sum_p + _EPS)
-    recall = inter / (sum_t + _EPS)
-    spec = spec_num / (spec_den + _EPS)
-    loss_c = (jnp.where(sum_p > 0, _neg_log(precision), 0.0)
-              + jnp.where(sum_t > 0, _neg_log(recall), 0.0)
-              + jnp.where(spec_den > 0, _neg_log(spec), 0.0))
-    present = (sum_t > 0).astype(jnp.float32)
-    present = present.at[free_class].set(0.0)   # skip the free class
-    count = jnp.sum(present)
-    total = jnp.sum(loss_c * present)
-    loss_sem = jnp.where(count > 0, total / jnp.maximum(count, 1.0), 0.0)
-    return loss_ce, loss_geo, loss_sem
+    return occ_losses_fused_packed(
+        logits.reshape(-1, n_cls), labels.reshape(-1), mask.reshape(-1),
+        class_weight, n_cls, free_class=free_class)
 
 
 def occ_losses_fused_packed(flat_logits: jnp.ndarray, labels: jnp.ndarray,

@@ -21,6 +21,7 @@ frames-major; imgs is (B, F, N, H, W, 3).
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -82,41 +83,95 @@ def shift_grid(dy: int, dx: int, curr_s2k: jnp.ndarray, prev_s2k: jnp.ndarray,
     return warped[..., :2] / norm * 2.0 - 1.0
 
 
+def prepare_stereo_inputs(batch):
+    """Key-ego alignment + cur->adj sensor transforms
+    (bevdet4d.py:208-288), frames-major layout.
+
+    The reference does this in fp64 (bevdet.py:72-74 `.double()`).  The
+    pipeline precomputes both transforms host-side in np.float64
+    (data/pipeline.py) and ships them as batch keys; when a caller feeds
+    raw poses instead, the in-jit fallback uses the cancellation-free
+    SE3 composition (geometry/rigid.py) so fp32 stays accurate despite
+    O(1000 m) nuScenes global translations.
+    """
+    if "sensor2keyego" in batch and "curr2adjsensor" in batch:
+        return (batch["sensor2keyego"].astype(jnp.float32),
+                batch["curr2adjsensor"].astype(jnp.float32))
+    hp = jax.lax.Precision.HIGHEST
+    s2e = batch["sensor2ego"].astype(jnp.float32)     # (B, F, N, 4, 4)
+    e2g = batch["ego2global"].astype(jnp.float32)
+    keyego2global = jnp.broadcast_to(
+        e2g[:, 0, 0][:, None, None], e2g.shape)       # (B, F, N, 4, 4)
+    # inv(keyego2global) @ e2g, large translations cancelled first
+    g2k_e2g = rigid_relative(keyego2global, e2g)
+    s2k = jnp.einsum("bfnij,bfnjk->bfnik", g2k_e2g, s2e, precision=hp)
+    # curr2adjsensor[f]: frame-f camera -> frame-(f+1) camera.
+    # inv(e2g[f+1] s2e[f+1]) @ (e2g[f] s2e[f]) — the large global poses
+    # meet only inside rigid_relative; everything else is O(metres).
+    e2g_rel = rigid_relative(e2g[:, 1:], e2g[:, :-1])
+    c2a = jnp.einsum("bfnij,bfnjk,bfnkl->bfnil",
+                     rigid_inverse(s2e[:, 1:]), e2g_rel, s2e[:, :-1],
+                     precision=hp)
+    return s2k, c2a
+
+
+def resolve_cv_method(cfg: ModelConfig, batch, backend: str = None) -> str:
+    """Serving-setup guard for the Pallas cost-volume row window.
+
+    Builds the geometry-only cv plan for every adjacent frame pair in
+    ``batch`` (a frames-major temporal batch) and certifies that the
+    compiled ``cfg.cv_win_rows`` row window holds every in-image tap
+    (ops.cost_volume_pallas.validate_cv_plan).  Returns the method the
+    serving entry points should run: 'pallas' when certified, otherwise
+    'xla' (exact for any geometry) — instead of silently clipping taps on
+    a rig with in-plane inter-frame rotation.  An explicit cfg.cv_method
+    ('xla'/'pallas') always wins.
+    """
+    if cfg.cv_method != "auto":
+        return cfg.cv_method
+    if not cfg.stereo:
+        return "xla"
+    if (backend or jax.default_backend()) != "tpu":
+        return "xla"
+    from dhd_tpu.geometry import create_frustum
+    from dhd_tpu.ops.cost_volume_pallas import (build_cv_plan,
+                                                validate_cv_plan)
+    vt = cfg.vt
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    _, c2a = prepare_stereo_inputs(batch)             # (B, F-1, N, 4, 4)
+    frustum = create_frustum(vt.depth, vt.input_size, downsample=4,
+                             sid=vt.sid)
+    hs, ws = vt.input_size[0] // 4, vt.input_size[1] // 4
+    b, fm1, n = c2a.shape[:3]
+
+    def fold(x):  # fold the frame axis into batch: one plan build
+        return x.reshape((b * fm1,) + x.shape[2:])
+
+    intr = batch["intrins"].astype(jnp.float32)
+    prot = batch["post_rots"].astype(jnp.float32)
+    ptra = batch["post_trans"].astype(jnp.float32)
+    plan = jax.jit(functools.partial(build_cv_plan, hs=hs, ws=ws,
+                                     win_rows=cfg.cv_win_rows))(
+        frustum, fold(c2a), fold(intr[:, :fm1]), fold(prot[:, :fm1]),
+        fold(ptra[:, :fm1]))
+    v = validate_cv_plan(plan)
+    if not v["ok"]:
+        import logging
+        logging.getLogger(__name__).warning(
+            "cost-volume: compiled win_rows=%d < required %d for this "
+            "geometry — using the exact XLA path (raise cv_win_rows to "
+            "re-enable the Pallas kernel)", cfg.cv_win_rows, v["wr_req"])
+        return "xla"
+    return "pallas"
+
+
 class DHDStereoNet(nn.Module):
     """Temporal + stereo DHD (DHD-M/L)."""
     cfg: ModelConfig
     dtype: Dtype = jnp.float32
 
     def _prepare_inputs(self, batch):
-        """Key-ego alignment + cur->adj sensor transforms
-        (bevdet4d.py:208-288), frames-major layout.
-
-        The reference does this in fp64 (bevdet.py:72-74 `.double()`).  The
-        pipeline precomputes both transforms host-side in np.float64
-        (data/pipeline.py) and ships them as batch keys; when a caller feeds
-        raw poses instead, the in-jit fallback uses the cancellation-free
-        SE3 composition (geometry/rigid.py) so fp32 stays accurate despite
-        O(1000 m) nuScenes global translations.
-        """
-        if "sensor2keyego" in batch and "curr2adjsensor" in batch:
-            return (batch["sensor2keyego"].astype(jnp.float32),
-                    batch["curr2adjsensor"].astype(jnp.float32))
-        hp = jax.lax.Precision.HIGHEST
-        s2e = batch["sensor2ego"].astype(jnp.float32)     # (B, F, N, 4, 4)
-        e2g = batch["ego2global"].astype(jnp.float32)
-        keyego2global = jnp.broadcast_to(
-            e2g[:, 0, 0][:, None, None], e2g.shape)       # (B, F, N, 4, 4)
-        # inv(keyego2global) @ e2g, large translations cancelled first
-        g2k_e2g = rigid_relative(keyego2global, e2g)
-        s2k = jnp.einsum("bfnij,bfnjk->bfnik", g2k_e2g, s2e, precision=hp)
-        # curr2adjsensor[f]: frame-f camera -> frame-(f+1) camera.
-        # inv(e2g[f+1] s2e[f+1]) @ (e2g[f] s2e[f]) — the large global poses
-        # meet only inside rigid_relative; everything else is O(metres).
-        e2g_rel = rigid_relative(e2g[:, 1:], e2g[:, :-1])
-        c2a = jnp.einsum("bfnij,bfnjk,bfnkl->bfnil",
-                         rigid_inverse(s2e[:, 1:]), e2g_rel, s2e[:, :-1],
-                         precision=hp)
-        return s2k, c2a
+        return prepare_stereo_inputs(batch)
 
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False,

@@ -173,3 +173,37 @@ def test_cost_volume_pallas_under_grad():
     assert float(jnp.abs(g_prev).max()) == 0.0
     np.testing.assert_allclose(np.asarray(g_curr), np.asarray(2 * curr),
                                rtol=1e-6)
+
+
+def test_resolve_cv_method_serving_guard():
+    """Serving entry points certify the compiled row window against the
+    rig's actual inter-frame geometry and fall back to the exact XLA path
+    instead of silently clipping taps (ADVICE r3)."""
+    import dataclasses
+
+    from dhd_tpu.config import get_config
+    from dhd_tpu.data import synthetic_batch
+    from dhd_tpu.models.dhd_stereo import resolve_cv_method
+
+    cfg = get_config("dhd_micro_stereo")
+    batch = synthetic_batch(cfg, batch_size=1, with_gt=False)
+    hs = cfg.vt.input_size[0] // 4
+
+    # an explicit cv_method always wins over the guard
+    assert resolve_cv_method(
+        dataclasses.replace(cfg, cv_method="xla"), batch,
+        backend="tpu") == "xla"
+    assert resolve_cv_method(
+        dataclasses.replace(cfg, cv_method="pallas"), batch,
+        backend="cpu") == "pallas"
+    # non-TPU backends use the XLA path
+    assert resolve_cv_method(dataclasses.replace(cfg, cv_method="auto"),
+                             batch, backend="cpu") == "xla"
+    # a full-image-height window always holds every in-image tap
+    assert resolve_cv_method(
+        dataclasses.replace(cfg, cv_method="auto", cv_win_rows=hs), batch,
+        backend="tpu") == "pallas"
+    # a 1-row window cannot hold a bilinear tap pair -> exact fallback
+    assert resolve_cv_method(
+        dataclasses.replace(cfg, cv_method="auto", cv_win_rows=1), batch,
+        backend="tpu") == "xla"

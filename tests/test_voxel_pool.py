@@ -200,7 +200,14 @@ def test_truncation_boundary_semantics():
     assert int((idx.seg_bev < idx.num_seg_bev).sum()) == vt.D * fh * fw
 
 
-def test_mghs_pool_pallas_grads_match_xla():
+@pytest.mark.parametrize("dtype,atol", [
+    # fp32 pins the custom_vjp exactly (the backward is two gathers of g —
+    # any pack/dtype regression in the forward or backward shows up here);
+    # bf16 covers the serving dtype, where out/cotangent rounding dominates
+    (np.float32, 1e-5),
+    (np.float16, None),  # placeholder replaced below (bf16 has no np alias)
+])
+def test_mghs_pool_pallas_grads_match_xla(dtype, atol):
     """Training THROUGH the kernel path (precomputed plan in a train batch,
     e.g. a pod loader shipping plans) must give the XLA path's gradients:
     the dual kernel carries a custom_vjp whose backward is two gathers."""
@@ -209,7 +216,12 @@ def test_mghs_pool_pallas_grads_match_xla():
     idx = compute_pool_indices(jnp.asarray(coords), vt)
     from dhd_tpu.ops import build_pool_plan, mghs_pool_pallas
     plan = build_pool_plan(idx, vt, depth.shape)
-    depth_px = jnp.transpose(jnp.asarray(depth), (0, 1, 3, 4, 2))
+    bf16 = dtype == np.float16
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    if bf16:
+        atol = 2e-2
+    feat_j = jnp.asarray(feat, dt)
+    depth_px = jnp.transpose(jnp.asarray(depth, dt), (0, 1, 3, 4, 2))
     bm = jnp.asarray(band_mask)
 
     def loss_pallas(depth_px, feat):
@@ -219,14 +231,19 @@ def test_mghs_pool_pallas_grads_match_xla():
             + jnp.sum(vox.astype(jnp.float32) ** 2)
 
     def loss_xla(depth, feat):
-        bev, vox = mghs_pool(depth, feat, bm, idx, vt)
-        return jnp.sum(bev ** 2) + jnp.sum(vox ** 2)
+        bev, vox = mghs_pool(depth.astype(jnp.float32),
+                             feat.astype(jnp.float32), bm, idx, vt)
+        if bf16:  # XLA oracle with the kernel's output rounding
+            bev, vox = bev.astype(dt), vox.astype(dt)
+        return jnp.sum(bev.astype(jnp.float32) ** 2) \
+            + jnp.sum(vox.astype(jnp.float32) ** 2)
 
-    gd_p, gf_p = jax.grad(loss_pallas, argnums=(0, 1))(
-        depth_px, jnp.asarray(feat))
+    gd_p, gf_p = jax.grad(loss_pallas, argnums=(0, 1))(depth_px, feat_j)
     gd_x, gf_x = jax.grad(loss_xla, argnums=(0, 1))(
-        jnp.asarray(depth), jnp.asarray(feat))
-    np.testing.assert_allclose(np.asarray(jnp.transpose(gd_p, (0, 1, 4, 2, 3))),
-                               np.asarray(gd_x), atol=2e-2, rtol=1e-3)
-    np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x),
-                               atol=2e-2, rtol=1e-3)
+        jnp.asarray(depth, dt), feat_j)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(gd_p, (0, 1, 4, 2, 3)), np.float32),
+        np.asarray(gd_x, np.float32), atol=atol, rtol=1e-5 if not bf16 else 1e-2)
+    np.testing.assert_allclose(np.asarray(gf_p, np.float32),
+                               np.asarray(gf_x, np.float32),
+                               atol=atol, rtol=1e-5 if not bf16 else 1e-2)
