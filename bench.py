@@ -1,19 +1,30 @@
 """End-to-end throughput benchmark (the tools/analysis_tools/benchmark.py
-equivalent): DHD-S 6-camera inference frames/sec on one chip, bf16.
+equivalent): DHD-S 6-camera inference frames/sec on one chip, bf16, plus
+DHD-M / DHD-L streaming latency.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+Prints one JSON metric line per model; the HEADLINE line (DHD-S fps) is
+LAST.  Each line carries its audit trail:
+  value        — wall-clock (chained iterations ending in a host read, so
+                 neither caching nor async dispatch in the device tunnel
+                 can fake it; the tunnel's block_until_ready does not block)
+  device_ms    — jax.profiler device-trace time of the step module (what
+                 the chip actually ran; the tunnel adds ~1-2 ms/dispatch of
+                 host overhead on top)
+  flops        — XLA cost analysis of the compiled executable (not a hand
+                 count); flops_source records that
+  mfu          — flops / (device_ms * peak);  peak = 197 bf16 TFLOP/s for
+                 TPU v5e (public spec)
+  vs_baseline / baseline_source — see below
 
-Methodology: iterations are *chained* (each input perturbed by a scalar
-derived from the previous output) and the loop ends with a host read of a
-scalar, so neither result caching nor async dispatch in the device tunnel can
-fake the timing.
-
-The reference publishes no throughput numbers (BASELINE.md); we normalize
-against an estimated 10 fps for DHD-S in PyTorch on an A100-class GPU
-(BEVDet-R50-family models measure ~15 fps per the BEVPoolv2 report
-arXiv 2211.17111; DHD-S adds HeightNet + 3 UNet slab encoders), so
-vs_baseline > 1.0 means faster than the reference-class GPU baseline.
+Baseline: the reference publishes NO throughput numbers (BASELINE.md;
+tools/analysis_tools/benchmark.py exists but no results in-repo), and this
+environment has no GPU to measure it.  We therefore normalize against a
+PUBLISHED number for a strictly LIGHTER model on the same backbone,
+resolution and task family: BEVDet-R50 with BEVPoolv2 reports ~16.4 fps
+PyTorch on a consumer GPU (BEVPoolv2 report, arXiv 2211.17111).  DHD-S is
+BEVDet-R50 plus HeightNet, dual splats, three UNet slab encoders and SFA,
+so its fps is strictly below that — making 16.4 an UPPER bound on the
+baseline and vs_baseline = fps/16.4 a LOWER bound on the true speedup.
 """
 from __future__ import annotations
 
@@ -24,16 +35,25 @@ import time
 import jax
 import jax.numpy as jnp
 
-BASELINE_FPS = 10.0
+# upper bound for the reference's DHD-S fps (see module docstring)
+BASELINE_FPS = 16.4
+BASELINE_SOURCE = ("upper bound: BEVDet-R50+BEVPoolv2 ~16.4 fps PyTorch "
+                   "(arXiv 2211.17111); DHD-S is strictly heavier; no GPU "
+                   "here to measure the reference itself")
 
 
-def main() -> None:
-    from dhd_tpu.utils import enable_persistent_cache
-    enable_persistent_cache()
+def peak_tflops() -> float:
+    dev = str(jax.devices()[0])
+    return 197.0 if "v5 lite" in dev else float("nan")
+
+
+def bench_dhd_s():
+    """Headline: DHD-S 6-cam serving fps + device time + XLA-flops MFU."""
     from dhd_tpu.config import get_config
     from dhd_tpu.data import synthetic_batch
     from dhd_tpu.models import DHDNet
     from dhd_tpu.models.dhd import build_batch_pool_plan
+    from dhd_tpu.profiling import module_ms, trace_device
 
     batch_size = 1
     cfg = get_config("dhd_s")
@@ -81,22 +101,131 @@ def main() -> None:
     dt = time.perf_counter() - t0
     fps = iters * batch_size / dt
 
-    # context for the absolute number: ~934 GFLOPs/forward (XLA cost
-    # analysis, README) vs the chip's bf16 peak
-    dev = jax.devices()[0]
-    peak_tflops = 197.0 if "v5 lite" in str(dev) else float("nan")
-    mfu = fps * 934e9 / (peak_tflops * 1e12)
-    print(f"chip: {dev}; est. MFU {mfu * 100:.1f}% "
-          f"(934 GFLOP/fwd @ {peak_tflops:.0f} TFLOP/s bf16 peak); "
-          f"vs_baseline denominator {BASELINE_FPS} fps is an ESTIMATE "
-          f"(BEVPoolv2 report, arXiv 2211.17111) — no GPU available to "
-          f"measure the reference", file=sys.stderr)
-    print(json.dumps({
+    # FLOPs from the compiled executable, not a hand count
+    flops = float("nan")
+    try:
+        compiled = step.lower(variables, batch, carry).compile()
+        flops = float(compiled.cost_analysis().get("flops", float("nan")))
+    except Exception as e:                          # pragma: no cover
+        print(f"cost_analysis failed: {e}", file=sys.stderr)
+
+    # device time from a profiler trace (drop the first traced run)
+    device_ms = None
+    try:
+        def run():
+            c = jnp.zeros((), jnp.float32)
+            for _ in range(6):
+                c = step(variables, batch, c)
+            _ = float(c)
+        device_ms = module_ms(trace_device(run), "step", drop_first=1)
+    except Exception as e:                          # pragma: no cover
+        print(f"profiler trace failed: {e}", file=sys.stderr)
+
+    peak = peak_tflops()
+    mfu = (flops / 1e12) / (device_ms / 1e3) / peak \
+        if device_ms and flops == flops else None
+    print(f"chip: {jax.devices()[0]}; flops/fwd {flops / 1e9:.0f} G (XLA "
+          f"cost analysis); device {device_ms and round(device_ms, 2)} ms; "
+          f"MFU {mfu and round(100 * mfu, 1)}%", file=sys.stderr)
+    return {
         "metric": "dhd_s_6cam_inference_tpu_v5e",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+        "device_ms": device_ms and round(device_ms, 2),
+        "flops": flops,
+        "flops_source": "xla_cost_analysis",
+        "mfu": mfu and round(mfu, 4),
+        "baseline_source": BASELINE_SOURCE,
+    }
+
+
+def bench_stream(preset: str):
+    """DHD-M / DHD-L streaming serving latency (cached prev-frame state —
+    the deployment configuration; benchmark_sequential.py equivalent)."""
+    import dataclasses
+
+    from dhd_tpu.config import get_config
+    from dhd_tpu.data import synthetic_batch
+    from dhd_tpu.models import build_model
+    from dhd_tpu.models.dhd_stereo import (build_stream_cv_static,
+                                           build_stream_pool_plan,
+                                           resolve_cv_method)
+    from dhd_tpu.profiling import module_ms, trace_device
+
+    cfg = get_config(preset)
+    tb = {k: jnp.asarray(v)
+          for k, v in synthetic_batch(cfg, 1, with_gt=False).items()}
+    cfg = dataclasses.replace(cfg, cv_method=resolve_cv_method(cfg, tb))
+    model = build_model(cfg, dtype=jnp.bfloat16)
+    sbatch = {"imgs": tb["imgs"][:, 0],
+              "sensor2ego": tb["sensor2ego"][:, 0],
+              "ego2global": tb["ego2global"][:, 0],
+              "intrins": tb["intrins"][:, 0],
+              "post_rots": tb["post_rots"][:, 0],
+              "post_trans": tb["post_trans"][:, 0],
+              "bda": tb["bda"]}
+    variables = jax.jit(lambda rng, b: model.init(
+        rng, b, train=False, cache={}))(jax.random.PRNGKey(0), sbatch)
+    _ = float(jnp.sum(jax.tree.leaves(variables)[0].astype(jnp.float32)))
+    sbatch["pool_plan"] = jax.jit(
+        lambda b: build_stream_pool_plan(cfg, b))(sbatch)
+    if cfg.cv_method == "pallas":
+        sbatch["cv_static"] = jax.jit(
+            lambda b: build_stream_cv_static(cfg, b))(sbatch)
+    _, cache = jax.jit(lambda v, b: model.apply(
+        v, b, train=False, cache={}))(variables, sbatch)
+
+    @jax.jit
+    def step(c, batch, cache, variables):
+        b = dict(batch)
+        b["imgs"] = batch["imgs"] + c.astype(batch["imgs"].dtype)
+        out, new_cache = model.apply(variables, b, train=False, cache=cache)
+        return (jnp.tanh(jnp.mean(out["occ_logits"].astype(jnp.float32)))
+                * 1e-6, new_cache)
+
+    c = jnp.zeros((), jnp.float32)
+    c, cache = step(c, sbatch, cache, variables)
+    _ = float(c)
+    iters = 15
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        c, cache = step(c, sbatch, cache, variables)
+    _ = float(c)
+    ms = (time.perf_counter() - t0) / iters * 1e3
+
+    device_ms = None
+    try:
+        def run():
+            nonlocal c, cache
+            for _ in range(5):
+                c, cache = step(c, sbatch, cache, variables)
+            _ = float(c)
+        device_ms = module_ms(trace_device(run), "step", drop_first=1)
+    except Exception as e:                          # pragma: no cover
+        print(f"profiler trace failed: {e}", file=sys.stderr)
+    return {
+        "metric": f"{preset}_6cam_streaming_tpu_v5e",
+        "value": round(ms, 2),
+        "unit": "ms",
+        "vs_baseline": None,
+        "device_ms": device_ms and round(device_ms, 2),
+        "baseline_source": "reference publishes no latency (BASELINE.md)",
+    }
+
+
+def main() -> None:
+    from dhd_tpu.utils import enable_persistent_cache
+    enable_persistent_cache()
+
+    # M/L streaming first; the HEADLINE DHD-S line must be LAST (the
+    # driver parses the final JSON line)
+    for preset in ("dhd_m", "dhd_l"):
+        try:
+            print(json.dumps(bench_stream(preset)), flush=True)
+        except Exception as e:                      # pragma: no cover
+            print(f"{preset} streaming bench failed: {e}", file=sys.stderr)
+    print(json.dumps(bench_dhd_s()), flush=True)
 
 
 if __name__ == "__main__":

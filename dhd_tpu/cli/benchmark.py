@@ -14,6 +14,24 @@ import argparse
 import time
 
 
+def _print_profile(prof, module_substr, n_ops):
+    """Per-module device time + top-op table from a trace_device() result."""
+    from dhd_tpu.profiling import module_ms, top_ops
+    for name, durs in sorted(prof["modules"].items()):
+        if len(durs) > 1:
+            mean = sum(durs[1:]) / len(durs[1:])
+        else:
+            mean = durs[0]
+        print(f"[profile] module {name}: {mean:.2f} ms/exec "
+              f"x{len(durs)}")
+    dev = module_ms(prof, module_substr, drop_first=1)
+    if dev is not None:
+        print(f"[profile] device time ({module_substr}): {dev:.2f} ms")
+    print(f"[profile] top ops by device time:")
+    for name, ms, cnt in top_ops(prof, n_ops):
+        print(f"  {ms:10.3f} ms  x{cnt:<5d} {name}")
+
+
 def chained_time(step, iters: int = 20, *args):
     """step: jitted fn(carry, *args)->carry.  Returns seconds/iter.
 
@@ -36,11 +54,18 @@ def main():
     p.add_argument("--preset", default="dhd_s")
     p.add_argument("--what", default="full",
                    choices=["full", "stream", "stages", "flops", "train",
-                            "pool"])
+                            "pool", "cv", "exported"])
+    p.add_argument("--artifact", default=None,
+                   help="serialized jax.export artifact for --what "
+                        "exported (see cli/export.py)")
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--fp32", dest="bf16", action="store_false")
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--profile", action="store_true",
+                   help="after timing, capture a jax.profiler device trace "
+                        "and print per-module device ms + the top ops")
+    p.add_argument("--profile-ops", type=int, default=25)
     args = p.parse_args()
 
     import os
@@ -58,6 +83,32 @@ def main():
 
     cfg = get_config(args.preset)
     dt = jnp.bfloat16 if args.bf16 else jnp.float32
+
+    if args.what == "exported":
+        # time the DESERIALIZED deployment artifact (the benchmark_trt.py
+        # analogue: the engine as shipped, not the live model)
+        from jax import export as jexport
+        if not args.artifact:
+            raise SystemExit("--what exported needs --artifact")
+        with open(args.artifact, "rb") as f:
+            exported = jexport.deserialize(bytearray(f.read()))
+        fn = jax.jit(exported.call)
+        ebatch = {k: jnp.asarray(v)
+                  for k, v in synthetic_batch(cfg, args.batch_size,
+                                              with_gt=False).items()}
+
+        @jax.jit
+        def step(c, batch):
+            b = dict(batch)
+            b["imgs"] = batch["imgs"] + c.astype(batch["imgs"].dtype)
+            occ = fn(b)                      # (B, Dx, Dy, Dz) uint8 classes
+            return jnp.tanh(jnp.sum(occ.astype(jnp.float32)) * 1e-9)
+
+        dt_s = chained_time(step, args.iters, ebatch)
+        print(f"{args.preset} exported artifact: {dt_s * 1e3:.2f} ms/iter "
+              f"= {args.batch_size / dt_s:.1f} samples/s")
+        return
+
     model = build_model(cfg, dtype=dt)
 
     if args.what == "stream":
@@ -90,11 +141,15 @@ def main():
             rng, b, train=False, cache={}))(jax.random.PRNGKey(0), sbatch)
         _ = float(jnp.sum(jax.tree.leaves(variables)[0]
                           .astype(jnp.float32)))
-        # fixed-rig serving: precompute the pooling plan once
-        # (the reference's 'accelerate' mode)
-        from dhd_tpu.models.dhd_stereo import build_stream_pool_plan
+        # fixed-rig serving: precompute the pooling plan + the rig-static
+        # half of the stereo warp plan once (the 'accelerate' mode)
+        from dhd_tpu.models.dhd_stereo import (build_stream_cv_static,
+                                               build_stream_pool_plan)
         sbatch["pool_plan"] = jax.jit(
             lambda b: build_stream_pool_plan(cfg, b))(sbatch)
+        if cfg.stereo and cfg.cv_method == "pallas":
+            sbatch["cv_static"] = jax.jit(
+                lambda b: build_stream_cv_static(cfg, b))(sbatch)
         # one bootstrap step to get a steady-state cache structure
         _, cache = jax.jit(lambda v, b: model.apply(
             v, b, train=False, cache={}))(variables, sbatch)
@@ -121,6 +176,16 @@ def main():
         dt_s = (time.perf_counter() - t0) / args.iters
         print(f"{args.preset} streaming inference: {dt_s * 1e3:.2f} "
               f"ms/iter = {args.batch_size / dt_s:.1f} samples/s")
+        if args.profile:
+            from dhd_tpu.profiling import trace_device
+            n_prof = min(args.iters, 6)
+
+            def run():
+                nonlocal c, cache
+                for _ in range(n_prof):
+                    c, cache = step(c, sbatch, cache, variables)
+                _ = float(c)
+            _print_profile(trace_device(run), "step", args.profile_ops)
         return
 
     if args.what == "train":
@@ -146,6 +211,18 @@ def main():
         dt_s = (time.perf_counter() - t0) / args.iters
         print(f"{args.preset} train step: {dt_s * 1e3:.2f} ms/iter = "
               f"{args.batch_size / dt_s:.2f} samples/s")
+        if args.profile:
+            from dhd_tpu.profiling import trace_device
+            n_prof = min(args.iters, 4)
+
+            def run():
+                nonlocal state, m
+                for i in range(n_prof):
+                    state, m = step_fn(state, tbatch,
+                                       jax.random.fold_in(rng, 100 + i))
+                _ = float(m["loss_total"])
+            _print_profile(trace_device(run), "train_step",
+                           args.profile_ops)
         return
 
     batch = {k: jnp.asarray(v)
@@ -176,6 +253,85 @@ def main():
               f"{ca.get('bytes accessed', float('nan')) / 1e9:.2f} GB")
         n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
         print(f"params: {n_params / 1e6:.1f} M")
+        return
+
+    if args.what == "cv":
+        # stereo cost volume decomposition at this preset's shapes:
+        # (a) plan build (reproject grid + window origins, geometry-only),
+        # (b) kernel from a prebuilt plan (incl. layout transposes),
+        # (c) the full fused call the model runs (plan + kernel + softmax)
+        import numpy as np
+        from dhd_tpu.geometry import create_frustum
+        from dhd_tpu.ops.cost_volume import stereo_cost_volume
+        from dhd_tpu.ops.cost_volume_pallas import (build_cv_plan,
+                                                    cv_cost_pallas)
+        if not cfg.stereo:
+            raise SystemExit("--what cv needs a stereo preset")
+        vt = cfg.vt
+        b, n = args.batch_size, cfg.num_cams
+        hs, ws = vt.input_size[0] // 4, vt.input_size[1] // 4
+        # stereo feature channel width: stage-0 backbone output
+        cs = {"dhd_m": 256, "dhd_l": 128}.get(args.preset, 64)
+        rng = np.random.default_rng(0)
+        frustum = create_frustum(vt.depth, vt.input_size, downsample=4,
+                                 sid=vt.sid)
+        k2s = np.broadcast_to(np.eye(4, dtype=np.float32),
+                              (b, n, 4, 4)).copy()
+        k2s[..., 0, 3] = 0.3
+        k2s[..., 2, 3] = -0.5                       # 0.5 m forward motion
+        intr = np.asarray(batch["intrins"][:, 0] if batch["intrins"].ndim
+                          == 5 else batch["intrins"], np.float32)
+        prot = np.asarray(batch["post_rots"][:, 0] if
+                          batch["post_rots"].ndim == 5
+                          else batch["post_rots"], np.float32)
+        ptra = np.asarray(batch["post_trans"][:, 0] if
+                          batch["post_trans"].ndim == 4
+                          else batch["post_trans"], np.float32)
+        prev = jnp.asarray(rng.normal(0, 1, (b, n, hs, ws, cs)), dt)
+        curr = jnp.asarray(rng.normal(0, 1, (b, n, hs, ws, cs)), dt)
+
+        plan_fn = jax.jit(lambda k: build_cv_plan(
+            frustum, k, jnp.asarray(intr), jnp.asarray(prot),
+            jnp.asarray(ptra), hs=hs, ws=ws, win_rows=cfg.cv_win_rows))
+
+        @jax.jit
+        def plan_step(c, k2s):
+            k = k2s.at[:, :, 0, 3].add(c)
+            p = build_cv_plan(frustum, k, jnp.asarray(intr),
+                              jnp.asarray(prot), jnp.asarray(ptra),
+                              hs=hs, ws=ws, win_rows=cfg.cv_win_rows)
+            return jnp.tanh(jnp.sum(p["uf"]) * 1e-9 + p["wr_req"] * 0.0)
+
+        print(f"plan build: "
+              f"{chained_time(plan_step, args.iters, jnp.asarray(k2s)) * 1e3:.2f} ms",
+              flush=True)
+
+        plan = jax.block_until_ready(plan_fn(jnp.asarray(k2s)))
+
+        @jax.jit
+        def kern_step(c, prev, curr):
+            cost = cv_cost_pallas(
+                (prev + c.astype(prev.dtype)).reshape(b * n, hs, ws, cs),
+                curr.reshape(b * n, hs, ws, cs), plan,
+                bias=cfg.depthnet_cfg.bias)
+            return jnp.tanh(jnp.sum(cost) * 1e-9)
+
+        print(f"kernel+layout (prebuilt plan): "
+              f"{chained_time(kern_step, args.iters, prev, curr) * 1e3:.2f}"
+              f" ms", flush=True)
+
+        @jax.jit
+        def full_step(c, prev, curr):
+            p = stereo_cost_volume(
+                prev + c.astype(prev.dtype), curr, frustum,
+                jnp.asarray(k2s), jnp.asarray(intr), jnp.asarray(prot),
+                jnp.asarray(ptra), bias=cfg.depthnet_cfg.bias,
+                method=cfg.cv_method, win_rows=cfg.cv_win_rows)
+            return jnp.tanh(jnp.sum(p.astype(jnp.float32)) * 1e-9)
+
+        print(f"full stereo_cost_volume (plan+kernel+softmax): "
+              f"{chained_time(full_step, args.iters, prev, curr) * 1e3:.2f}"
+              f" ms", flush=True)
         return
 
     if args.what == "pool":
@@ -255,11 +411,21 @@ def main():
         return
 
     if args.what == "full":
-        dt_s = chained_time(full_step_factory(), args.iters, batch,
-                            variables)
+        step = full_step_factory()
+        dt_s = chained_time(step, args.iters, batch, variables)
         fps = args.batch_size / dt_s
         print(f"{args.preset} end-to-end: {dt_s * 1e3:.2f} ms/iter "
               f"= {fps:.1f} samples/s")
+        if args.profile:
+            from dhd_tpu.profiling import trace_device
+            n_prof = min(args.iters, 6)
+
+            def run():
+                c = jnp.zeros((), jnp.float32)
+                for _ in range(n_prof):
+                    c = step(c, batch, variables)
+                _ = float(c)
+            _print_profile(trace_device(run), "step", args.profile_ops)
         return
 
     # stages: time the full model and the model minus the view transform by

@@ -4,11 +4,21 @@ Instead of ONNX->TensorRT engines, the TPU-native deployment artifact is a
 serialized StableHLO program via jax.export: compile once, ship the bytes,
 run anywhere with a matching runtime.
 
+``--int8`` adds the TRT-int8 analogue (convert_bevdet_to_TRT.py:42-120):
+calibrate per-tensor activation scales for the image-encoder convs on a
+few batches, then export with those convs running int8 on the MXU
+(dhd_tpu/nn/quant.py).  Time the artifact with
+``python -m dhd_tpu.cli.benchmark --what exported --artifact <file>``.
+
   python -m dhd_tpu.cli.export --preset dhd_s --out dhd_s.stablehlo --bf16
+  python -m dhd_tpu.cli.export --preset dhd_s --out dhd_s_int8.stablehlo \
+      --bf16 --int8
 """
 from __future__ import annotations
 
 import argparse
+
+QUANT_PREFIXES = ("img_encoder/backbone",)
 
 
 def main():
@@ -18,6 +28,12 @@ def main():
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--int8", action="store_true",
+                   help="quantize the image-encoder convs to int8 "
+                        "(per-tensor activation scales calibrated on "
+                        "--calib-batches synthetic batches, or supply real "
+                        "data via --ann-file in a future revision)")
+    p.add_argument("--calib-batches", type=int, default=2)
     args = p.parse_args()
 
     import os
@@ -50,12 +66,23 @@ def main():
         out = model.apply(variables, batch, train=False)
         return jnp.argmax(out["occ_logits"], axis=-1).astype(jnp.uint8)
 
+    if args.int8:
+        from dhd_tpu.nn.quant import calibrate_int8, quantize_fn
+        calib = [{k: jnp.asarray(v) for k, v in synthetic_batch(
+            cfg, args.batch_size, with_gt=False, seed=100 + i).items()}
+            for i in range(args.calib_batches)]
+        scales = calibrate_int8(infer, calib, QUANT_PREFIXES)
+        print(f"calibrated {len(scales)} conv activation scales "
+              f"({args.calib_batches} batches, prefixes={QUANT_PREFIXES})")
+        infer = quantize_fn(infer, scales, QUANT_PREFIXES)
+
     exported = jexport.export(jax.jit(infer))(batch)
     blob = exported.serialize()
     with open(args.out, "wb") as f:
         f.write(blob)
-    print(f"exported {args.preset} -> {args.out} "
-          f"({len(blob) / 1e6:.1f} MB, platforms={exported.platforms})")
+    print(f"exported {args.preset}{' int8' if args.int8 else ''} -> "
+          f"{args.out} ({len(blob) / 1e6:.1f} MB, "
+          f"platforms={exported.platforms})")
 
 
 if __name__ == "__main__":

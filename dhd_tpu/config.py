@@ -335,6 +335,39 @@ def dhd_micro_stereo() -> ModelConfig:
     )
 
 
+def dhd_micro() -> ModelConfig:
+    """Minimal SINGLE-FRAME model (the DHD-S family protocol: MGHS depth+
+    height transform, no temporal loop) for the driver's multi-chip dryrun
+    — same budget discipline as dhd_micro_stereo, so both model families
+    ride the driver artifact every round (VERDICT r3 item 6)."""
+    vt = ViewTransformConfig(
+        input_size=(32, 96),                 # fH,fW = 2,6
+        depth=GridConfig(1.0, 9.0, 1.0),     # D=8, 1 m bins like S
+        gt_depth=GridConfig(1.0, 9.0, 0.5),
+        x=GridConfig(-6.4, 6.4, 0.4),        # 32x32 BEV grid
+        y=GridConfig(-6.4, 6.4, 0.4),
+        in_channels=16,
+        out_channels=8,
+    )
+    return ModelConfig(
+        name="dhd_micro",
+        backbone="tiny_cnn",
+        img_neck_in_channels=(64, 128),
+        img_neck_out_channels=16,
+        depth_net="full",
+        depthnet_cfg=DepthNetConfig(use_dcn=False, aspp_mid_channels=8),
+        heightnet_cfg=DepthNetConfig(use_dcn=False, aspp_mid_channels=8),
+        vt=vt,
+        bev_encoder_channels=(16, 32, 64),
+        bev_neck_out_channels=32,
+        voxel_encoder_out=(8, 16, 8),
+        unet_base=4,
+        sfa_in_channels=64, sfa_out_channels=32,
+        head_in_dim=32, head_out_dim=32,
+        num_cams=2,
+    )
+
+
 def dhd_tiny() -> ModelConfig:
     """A shrunken DHD-S for fast tests: 64x176 input, 64x64x16 grid."""
     vt = ViewTransformConfig(
@@ -368,6 +401,7 @@ _PRESETS = {
     "dhd_l": dhd_l,
     "dhd_tiny": dhd_tiny,
     "dhd_tiny_stereo": dhd_tiny_stereo,
+    "dhd_micro": dhd_micro,
     "dhd_micro_stereo": dhd_micro_stereo,
 }
 

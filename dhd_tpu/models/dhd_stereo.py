@@ -259,6 +259,7 @@ class DHDStereoNet(nn.Module):
                     cost_volume = jnp.zeros((b * n, hs, ws, vt.D),
                                             self.dtype)
                 else:
+                    # DepthNet's cost_volumn_net consumes (B*N, Hs, Ws, D)
                     cv = stereo_cost_volume(
                         feat_prev_iv.reshape(b, n, hs, ws, cs),
                         sfeat.reshape(b, n, hs, ws, cs),
@@ -268,11 +269,8 @@ class DHDStereoNet(nn.Module):
                         batch["post_trans"][:, fid],
                         bias=cfg.depthnet_cfg.bias,
                         method=cfg.cv_method,
-                        win_rows=cfg.cv_win_rows)
-                    # DepthNet's cost_volumn_net consumes (B*N, Hs, Ws, D)
-                    cost_volume = jnp.transpose(
-                        cv.reshape(b * n, vt.D, hs, ws), (0, 2, 3, 1)
-                    ).astype(self.dtype)
+                        win_rows=cfg.cv_win_rows, out_layout="hwd")
+                    cost_volume = cv.astype(self.dtype)
 
             out = vt_mod(x, geom, train, cost_volume=cost_volume)
             bev, vox = out["bev"], out["vox"]
@@ -408,16 +406,19 @@ class DHDStereoNet(nn.Module):
                 k2s = rigid_relative(cache["cam2global"], cam2global)
                 cv_frustum = create_frustum(vt.depth, vt.input_size,
                                             downsample=4, sid=vt.sid)
+                # "cv_static" (build_stream_cv_static) is the rig-static
+                # half of the warp plan — geometry-only, computed once per
+                # camera rig like the pooling plan; the per-frame residual
+                # is one composed projective pass (cv_plan_from_static)
                 cv = stereo_cost_volume(
                     prev_sf.reshape(b, n, hs, ws, cs),
                     sfeat.reshape(b, n, hs, ws, cs),
                     cv_frustum, k2s, batch["intrins"],
                     batch["post_rots"], batch["post_trans"],
                     bias=cfg.depthnet_cfg.bias, method=cfg.cv_method,
-                    win_rows=cfg.cv_win_rows)
-                cost_volume = jnp.transpose(
-                    cv.reshape(b * n, vt.D, hs, ws), (0, 2, 3, 1)
-                ).astype(self.dtype)
+                    win_rows=cfg.cv_win_rows,
+                    static=batch.get("cv_static"), out_layout="hwd")
+                cost_volume = cv.astype(self.dtype)
 
         geom = {
             "sensor2keyego": s2k,
@@ -486,3 +487,24 @@ def build_stream_pool_plan(cfg: ModelConfig, batch: Dict[str, jnp.ndarray]
     b2 = dict(batch)
     b2["sensor2keyego"] = s2k
     return build_batch_pool_plan(cfg, b2)
+
+
+def build_stream_cv_static(cfg: ModelConfig, batch: Dict[str, jnp.ndarray]
+                           ) -> dict:
+    """Rig-static half of the stereo warp plan for streaming serving.
+
+    Geometry-only (frustum + intrinsics + image aug): one per camera rig,
+    reused across every frame; ship it as ``batch['cv_static']`` alongside
+    ``pool_plan``.  The per-frame residual (cv_plan_from_static) is one
+    fused elementwise pass instead of the full reproject-grid pipeline.
+    """
+    from dhd_tpu.ops.cost_volume_pallas import build_cv_static
+
+    vt = cfg.vt
+    frustum = create_frustum(vt.depth, vt.input_size, downsample=4,
+                             sid=vt.sid)
+    hs, ws = vt.input_size[0] // 4, vt.input_size[1] // 4
+    return build_cv_static(frustum, batch["intrins"].astype(jnp.float32),
+                           batch["post_rots"].astype(jnp.float32),
+                           batch["post_trans"].astype(jnp.float32),
+                           hs, ws)

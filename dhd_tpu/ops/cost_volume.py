@@ -63,7 +63,8 @@ def stereo_cost_volume(prev_feat: jnp.ndarray, curr_feat: jnp.ndarray,
                        intrins: jnp.ndarray, post_rots: jnp.ndarray,
                        post_trans: jnp.ndarray, bias: float = 0.0,
                        depth_chunk: int = 8, method: str = "auto",
-                       win_rows: int = 2) -> jnp.ndarray:
+                       win_rows: int = 2, static: Optional[dict] = None,
+                       out_layout: str = "ndhw") -> jnp.ndarray:
     """Softmaxed depth probability volume from two stereo feature maps.
 
     Args:
@@ -79,8 +80,13 @@ def stereo_cost_volume(prev_feat: jnp.ndarray, curr_feat: jnp.ndarray,
       win_rows: Pallas warp row window height (2 = no in-plane inter-frame
         rotation, the nuScenes rig; raise for rigs with roll — see
         cost_volume_pallas.validate_cv_plan).
+      static: optional rig-static plan half (cost_volume_pallas.
+        build_cv_static; streaming serving — composed projective per-frame
+        plan, Pallas path only).
+      out_layout: 'ndhw' -> (B, N, D, Hs, Ws); 'hwd' -> (B*N, Hs, Ws, D)
+        (DepthNet's input layout, saves a transpose on the Pallas path).
     Returns:
-      (B, N, D, Hs, Ws) cost-volume probabilities (stop-gradient).
+      cost-volume probabilities (stop-gradient) in ``out_layout``.
     """
     # the whole op is non-differentiable (the reference computes it under
     # @torch.no_grad, depthnet.py:310); stopping gradients on the *inputs*
@@ -97,7 +103,8 @@ def stereo_cost_volume(prev_feat: jnp.ndarray, curr_feat: jnp.ndarray,
         return stereo_cost_volume_pallas(
             prev_feat, curr_feat, frustum, k2s_sensor, intrins, post_rots,
             post_trans, bias=bias, win_rows=win_rows,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu", static=static,
+            out_layout=out_layout)
     b, n, hs, ws, c = curr_feat.shape
     d = frustum.shape[0]
     img_h, img_w = hs * 4, ws * 4
@@ -127,4 +134,6 @@ def stereo_cost_volume(prev_feat: jnp.ndarray, curr_feat: jnp.ndarray,
     if bias != 0.0:
         cost = jnp.where(invalid, cost + bias, cost)
     prob = jax.nn.softmax(-cost.astype(jnp.float32), axis=1)
+    if out_layout == "hwd":
+        return jax.lax.stop_gradient(jnp.transpose(prob, (0, 2, 3, 1)))
     return jax.lax.stop_gradient(prob.reshape(b, n, d, hs, ws))

@@ -59,6 +59,7 @@ The result feeds softmax(-cost) and is a constant under autodiff
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -203,6 +204,128 @@ def build_cv_plan(frustum: jnp.ndarray, k2s_sensor: jnp.ndarray,
             "wr_req": wr_req, "wr": wr, "wpad": wpad}
 
 
+def build_cv_static(frustum: jnp.ndarray, intrins: jnp.ndarray,
+                    post_rots: jnp.ndarray, post_trans: jnp.ndarray,
+                    hs: int, ws: int) -> dict:
+    """Rig-static half of the cv plan (streaming serving).
+
+    The warp grid math splits at the perspective step: everything BEFORE
+    the inter-frame pose — undo image aug, unproject to (u*d, v*d, d) — is
+    geometry of the *current* rig only, and everything AFTER composes into
+    ONE projective 3x4 per camera (intrins @ rots @ inv(intrins) folded
+    with the aug re-apply and the pixel->stereo-grid scaling).  So the
+    per-frame plan cost drops from the full grid pipeline (~15 ms at DHD-L
+    shapes, several 286 MB intermediates) to one fused elementwise pass
+    over 4 static planes (~2 ms): xyw = Q @ [P0; 1], uf = x/w, vf = y/w.
+
+    Returns {p0: (4, BN, H, T, D, 128) fp32 static homogeneous points in
+    KERNEL layout (padded lanes are all-zero -> w=0 -> invalid), fold: the
+    (B, N, 2, 3) aug+scale fold matrix [S@A2 | S@b2], plus shapes}.
+    Padded lanes hold zeros so the per-frame compose marks them invalid.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    b, n = intrins.shape[:2]
+    d = frustum.shape[0]
+    # steps 1-3 of stereo_reproject_grid: aug-undo + unprojection
+    pts = frustum[None, None] - post_trans[:, :, None, None, None, :]
+    pts = jnp.einsum("bnij,bndhwj->bndhwi", jnp.linalg.inv(post_rots), pts,
+                     precision=hp)
+    pts = jnp.concatenate([pts[..., :2] * pts[..., 2:3], pts[..., 2:3]],
+                          axis=-1)                       # (B,N,D,H,W,3)
+    n_t = -(-ws // TILE_W)
+    wpad = n_t * TILE_W
+    p0 = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
+    p0 = jnp.pad(p0.reshape(b * n, d, hs, ws, 4),
+                 [(0, 0), (0, 0), (0, 0), (0, wpad - ws), (0, 0)])
+    # kernel layout (BN, H, T, D, 128) with the 4 homogeneous components
+    # stacked on a LEADING axis (a minor dim of 4 would pad to a 128-lane
+    # tile: 32x the memory)
+    p0 = jnp.transpose(p0.reshape(b * n, d, hs, n_t, TILE_W, 4),
+                       (5, 0, 2, 3, 1, 4))
+    # fold of steps 7-8: uv' = A2 @ (xy/w) + b2, then pixel->grid units
+    # uf = (px+1)/2*(ws-1) with px = uv'.x/(img_w-1)*2-1
+    img_h, img_w = hs * 4.0, ws * 4.0
+    sx = (ws - 1.0) / (img_w - 1.0)
+    sy = (hs - 1.0) / (img_h - 1.0)
+    a2 = post_rots[:, :, :2, :2].astype(jnp.float32)
+    b2 = post_trans[:, :, :2].astype(jnp.float32)
+    scale = jnp.asarray([[sx], [sy]], jnp.float32)       # (2,1)
+    fold = jnp.concatenate([a2, b2[..., None]], axis=-1) * scale  # (B,N,2,3)
+    return {"p0": p0, "fold": fold,
+            "intrins": intrins.astype(jnp.float32),
+            "hs": hs, "ws": ws, "wpad": wpad, "d": d, "b": b, "n": n}
+
+
+def cv_plan_from_static(static: dict, k2s_sensor: jnp.ndarray,
+                        win_rows: int = 2) -> dict:
+    """Per-frame cv plan from :func:`build_cv_static` + the inter-frame
+    pose.  Same keys as :func:`build_cv_plan` plus layout='kernel' (uf/vf
+    already in (BN, H, T, D, 128) kernel layout — no transposes).
+
+    fp32-equivalent to build_cv_plan (the projective chain is composed
+    into one 3x4 instead of applied step-by-step, so coordinates differ
+    by ~1 ulp; the XLA fallback remains the exactness oracle)."""
+    hp = jax.lax.Precision.HIGHEST
+    b, n = k2s_sensor.shape[:2]
+    # static shapes come from the arrays (the dict's int fields turn into
+    # tracers when the dict rides through a jit boundary); ws is only used
+    # in value comparisons, so a traced scalar is fine
+    hs, wpad = static["p0"].shape[2], static["p0"].shape[3] * TILE_W
+    ws = static["ws"]
+    intr = static["intrins"]
+    rots = k2s_sensor[:, :, :3, :3].astype(jnp.float32)
+    trans = k2s_sensor[:, :, :3, 3].astype(jnp.float32)
+    # Q = [K R K^-1 | K t]  (3x4); row 3 stays [0,0,1|t_z]-composed since
+    # K's third row is [0,0,1]
+    m = jnp.einsum("bnij,bnjk,bnkl->bnil", intr, rots, jnp.linalg.inv(intr),
+                   precision=hp)
+    t = jnp.einsum("bnij,bnj->bni", intr, trans, precision=hp)
+    q = jnp.concatenate([m, t[..., None]], axis=-1)      # (B,N,3,4)
+    # fold the post-division aug+scale (fold: (B,N,2,3) over [x,y,w]) into
+    # the projective rows: uf = (fold @ [Qx p, Qy p, Qw p]) / (Qw p)
+    qf = jnp.einsum("bnij,bnjk->bnik", static["fold"], q,
+                    precision=hp)                        # (B,N,2,4)
+    q = jnp.concatenate([qf, q[:, :, 2:3]], axis=2)
+    q = q.reshape(b * n, 3, 4)
+
+    p0 = static["p0"]                                    # (4,BN,H,T,D,128)
+
+    # xyw_i = sum_j q[bn,i,j] * p0[j] — one fused elementwise pass over the
+    # 4 static planes (per-camera scalars broadcast over (H,T,D,128))
+    def comp(i):
+        return (q[:, i, 0, None, None, None, None] * p0[0]
+                + q[:, i, 1, None, None, None, None] * p0[1]
+                + q[:, i, 2, None, None, None, None] * p0[2]
+                + q[:, i, 3, None, None, None, None] * p0[3])
+
+    x = comp(0)
+    y = comp(1)
+    w = comp(2)                                          # (BN,H,T,D,128)
+    uf = x / w
+    vf = y / w
+    invalid = ((w < 1e-3) | (uf <= -1.0) | (uf >= ws)
+               | (vf <= -1.0) | (vf >= hs))
+    uf = jnp.where(invalid, -1e4, uf)
+    vf = jnp.where(invalid, -1e4, vf)
+
+    fin = vf > -1e3
+    lo = jnp.where(fin, jnp.maximum(jnp.floor(vf), 0.0), jnp.inf)
+    hi = jnp.where(fin, jnp.minimum(jnp.floor(vf) + 1.0, hs - 1.0),
+                   -jnp.inf)
+    lo = jnp.min(lo, axis=-1)                            # (BN,H,T,D)
+    hi = jnp.max(hi, axis=-1)
+    ok = jnp.isfinite(lo)
+    lo = jnp.where(ok, lo, 0.0)
+    hi = jnp.where(ok, hi, 0.0)
+    wr = int(win_rows)
+    r0 = jnp.clip(lo.astype(jnp.int32), 0, max(int(hs) - wr, 0))
+    # scalar-prefetch order is (bn, d, h, t)
+    r0 = jnp.transpose(r0, (0, 3, 1, 2)).reshape(-1)
+    wr_req = jnp.max(hi - lo) + 1.0
+    return {"uf": uf, "vf": vf, "r0": r0, "wr_req": wr_req, "wr": wr,
+            "wpad": wpad, "layout": "kernel"}
+
+
 def validate_cv_plan(plan: dict) -> dict:
     """Host-side exactness check for a built plan (serving-setup guard).
 
@@ -215,35 +338,61 @@ def validate_cv_plan(plan: dict) -> dict:
 
 
 @functools.partial(jax.jit, static_argnames=("bias", "win_rows",
-                                             "interpret"))
+                                             "interpret", "out_layout"))
 def stereo_cost_volume_pallas(prev_feat: jnp.ndarray, curr_feat: jnp.ndarray,
                               frustum: jnp.ndarray, k2s_sensor: jnp.ndarray,
                               intrins: jnp.ndarray, post_rots: jnp.ndarray,
                               post_trans: jnp.ndarray, bias: float = 0.0,
                               win_rows: int = 2,
-                              interpret: bool = False) -> jnp.ndarray:
+                              interpret: bool = False,
+                              static: Optional[dict] = None,
+                              out_layout: str = "ndhw") -> jnp.ndarray:
     """MXU cost volume; drop-in for ops.cost_volume.stereo_cost_volume.
 
     Args/returns as stereo_cost_volume: (B, N, Hs, Ws, C) features ->
-    (B, N, D, Hs, Ws) softmaxed depth probabilities (stop-gradient).
+    (B, N, D, Hs, Ws) softmaxed depth probabilities (stop-gradient), or
+    (B*N, Hs, Ws, D) with ``out_layout='hwd'`` (what DepthNet consumes —
+    the softmax runs in kernel layout and ONE transpose replaces two).
+
+    ``static`` (:func:`build_cv_static`) switches the per-frame plan to
+    the composed projective form (streaming serving; ~1 ulp coordinate
+    difference vs build_cv_plan, see cv_plan_from_static).
     """
     b, n, hs, ws, c = curr_feat.shape
     d = frustum.shape[0]
-    plan = build_cv_plan(frustum, k2s_sensor, intrins, post_rots, post_trans,
-                         hs, ws, win_rows=win_rows)
+    if static is not None:
+        plan = cv_plan_from_static(static, k2s_sensor, win_rows=win_rows)
+    else:
+        plan = build_cv_plan(frustum, k2s_sensor, intrins, post_rots,
+                             post_trans, hs, ws, win_rows=win_rows)
     cost = cv_cost_pallas(prev_feat.reshape(b * n, hs, ws, c),
                           curr_feat.reshape(b * n, hs, ws, c),
-                          plan, bias=bias, interpret=interpret)
+                          plan, bias=bias, interpret=interpret,
+                          raw_layout=out_layout == "hwd")
+    if out_layout == "hwd":
+        # cost is (BN, H, T, D, 128): softmax over D on the sublane dim,
+        # then one transpose into the consumer's (BN, H, W, D)
+        n_t = cost.shape[2]
+        prob = jax.nn.softmax(-cost.astype(jnp.float32), axis=3)
+        prob = jnp.transpose(prob, (0, 1, 2, 4, 3)).reshape(
+            b * n, hs, n_t * TILE_W, d)[:, :, :ws]
+        return jax.lax.stop_gradient(prob)
     prob = jax.nn.softmax(-cost[..., :ws].astype(jnp.float32), axis=1)
     return jax.lax.stop_gradient(prob.reshape(b, n, d, hs, ws))
 
 
 def cv_cost_pallas(prev: jnp.ndarray, curr: jnp.ndarray, plan: dict, *,
-                   bias: float, interpret: bool = False) -> jnp.ndarray:
-    """Raw (BN, D, Hs, Wpad) f32 matching cost from a prebuilt cv plan."""
+                   bias: float, interpret: bool = False,
+                   raw_layout: bool = False) -> jnp.ndarray:
+    """Raw matching cost from a prebuilt cv plan: (BN, D, Hs, Wpad) f32,
+    or the kernel-native (BN, Hs, T, D, 128) when ``raw_layout``."""
     bn, hs, ws, c = prev.shape
     uf, vf = plan["uf"], plan["vf"]
-    d, n_h, wpad = uf.shape[1], uf.shape[2], uf.shape[3]
+    if plan.get("layout") == "kernel":                 # (BN, H, T, D, 128)
+        d, n_h = uf.shape[3], uf.shape[1]
+        wpad = uf.shape[2] * TILE_W
+    else:
+        d, n_h, wpad = uf.shape[1], uf.shape[2], uf.shape[3]
     n_t = wpad // TILE_W
     wr = plan["wr"]
     # transposed layouts: channels on sublanes, pixels on lanes (see module
@@ -260,8 +409,11 @@ def cv_cost_pallas(prev: jnp.ndarray, curr: jnp.ndarray, plan: dict, *,
     # (BN, D, H, Wpad) -> (BN, H, T, D, 128): the per-step uf/vf/out blocks
     # sweep all of D, so D must sit in the (sublane-divisible) second-minor
     # block dim — a (1, D, 1, 128) block of the natural layout is rejected
-    # by the Mosaic tiling rules
+    # by the Mosaic tiling rules.  Kernel-layout plans (cv_plan_from_static)
+    # arrive pre-transposed.
     def to_kernel_layout(x):
+        if plan.get("layout") == "kernel":
+            return x
         return jnp.transpose(x.reshape(bn, d, n_h, n_t, TILE_W),
                              (0, 2, 3, 1, 4))
 
@@ -292,4 +444,6 @@ def cv_cost_pallas(prev: jnp.ndarray, curr: jnp.ndarray, plan: dict, *,
         interpret=interpret,
     )(plan["r0"], prev_t, curr_t,
       to_kernel_layout(uf), to_kernel_layout(vf))
+    if raw_layout:
+        return cost
     return jnp.transpose(cost, (0, 3, 1, 2, 4)).reshape(bn, d, n_h, wpad)

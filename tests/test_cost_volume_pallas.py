@@ -207,3 +207,50 @@ def test_resolve_cv_method_serving_guard():
     assert resolve_cv_method(
         dataclasses.replace(cfg, cv_method="auto", cv_win_rows=1), batch,
         backend="tpu") == "xla"
+
+
+def test_cv_static_plan_and_hwd_layout():
+    """The streaming fast path — rig-static plan half + composed projective
+    per-frame residual (cv_plan_from_static) and the transpose-free 'hwd'
+    output layout — matches the stepwise plan and the XLA oracle (composed
+    fp32 coordinates differ by ~1 ulp, so tolerance not bit-exactness)."""
+    from dhd_tpu.ops.cost_volume_pallas import build_cv_static
+
+    b, n, cs, hs, ws = 1, 2, 8, 16, 48
+    h_img, w_img = hs * 4, ws * 4
+    depth_grid = GridConfig(1.0, 9.0, 0.5)          # D=16
+    frustum = create_frustum(depth_grid, (h_img, w_img), downsample=4)
+    intr, post_rots, post_trans, k2s = _geometry(b, n, h_img, w_img, seed=9,
+                                                 rot=False)
+    rng = np.random.default_rng(6)
+    prev = rng.normal(0, 1, (b, n, hs, ws, cs)).astype(np.float32)
+    curr = rng.normal(0, 1, (b, n, hs, ws, cs)).astype(np.float32)
+    args = (jnp.asarray(prev), jnp.asarray(curr),
+            jnp.asarray(np.asarray(frustum, np.float32)), jnp.asarray(k2s),
+            jnp.asarray(intr), jnp.asarray(post_rots),
+            jnp.asarray(post_trans))
+    ref = stereo_cost_volume(*args, bias=5.0)       # XLA oracle
+
+    static = jax.jit(build_cv_static, static_argnames=("hs", "ws"))(
+        args[2], args[4], args[5], args[6], hs=hs, ws=ws)
+    out = stereo_cost_volume_pallas(*args, bias=5.0, win_rows=2,
+                                    interpret=True, static=static)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-3, rtol=1e-3)
+
+    # hwd layout: (B*N, Hs, Ws, D) permutation of the same probabilities
+    out_hwd = stereo_cost_volume_pallas(*args, bias=5.0, win_rows=2,
+                                        interpret=True, static=static,
+                                        out_layout="hwd")
+    assert out_hwd.shape == (b * n, hs, ws, frustum.shape[0])
+    np.testing.assert_allclose(
+        np.asarray(out_hwd),
+        np.transpose(np.asarray(out).reshape(b * n, -1, hs, ws),
+                     (0, 2, 3, 1)), atol=1e-6)
+
+    # the XLA path honours out_layout too
+    ref_hwd = stereo_cost_volume(*args, bias=5.0, method="xla",
+                                 out_layout="hwd")
+    np.testing.assert_allclose(np.asarray(ref_hwd), np.asarray(out_hwd),
+                               atol=2e-3, rtol=1e-3)
