@@ -15,7 +15,10 @@ def tiny_setup():
     model = DHDNet(cfg)
     batch = {k: jnp.asarray(v)
              for k, v in synthetic_batch(cfg, batch_size=1).items()}
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    # jitted init: one compiled program instead of thousands of eager CPU
+    # ops (~90 s -> seconds on the 1-core test host)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch)
     return cfg, model, batch, variables
 
 

@@ -20,7 +20,9 @@ def stereo_setup():
     model = build_model(cfg)
     batch = {k: jnp.asarray(v)
              for k, v in synthetic_batch(cfg, batch_size=1).items()}
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    # jitted init (see test_model.py: eager init is minutes on 1 core)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch)
     return cfg, model, batch, variables
 
 
@@ -58,7 +60,8 @@ def test_no_grad_through_prev_frames():
     model = build_model(cfg)
     batch = {k: jnp.asarray(v)
              for k, v in synthetic_batch(cfg, batch_size=1, seed=3).items()}
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch)
 
     def loss_wrt_imgs(imgs):
         b = dict(batch)
@@ -156,7 +159,8 @@ def test_tiny_swin_stereo_assembly():
     model = build_model(cfg)
     batch = {k: jnp.asarray(v)
              for k, v in synthetic_batch(cfg, batch_size=1, seed=5).items()}
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch)
     out = model.apply(variables, batch, train=False)
     assert out["occ_logits"].shape == (
         1, cfg.vt.x.size, cfg.vt.y.size, cfg.head_Dz, cfg.num_classes)
