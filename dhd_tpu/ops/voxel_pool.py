@@ -268,24 +268,29 @@ def mghs_pool_pallas(depth: jnp.ndarray, feat: jnp.ndarray,
         plan = build_pool_plan(idx, vt, (b, n, d, fh, fw))
     num_vox = b * dy * dx * dz
 
-    # Per-frame work: ONE row gather into sorted-point order, then the
-    # kernel.  Per-element (scalar) gathers of the P~186k depth and gate
-    # values ran at ~7 cycles/element on v5e — 2.9 ms/frame, the two
-    # largest ops in the DHD-S serving profile — while row gathers stream
-    # at ~100 GB/s.  So the depth*feat outer product and the height-band
-    # gate are computed in grid layout (fused elementwise into the softmax/
-    # cast chain), the gate rides as one extra channel, and a single
-    # (P, C+1) row gather by pixel-major point id replaces all three.
+    # Per-frame work: TWO gathers into sorted-point order, then the kernel.
+    # TPU gather throughput is dominated by the source-table working set,
+    # not bytes moved: gathering pre-expanded (P, C+1) depth*feat rows from
+    # a P-row table measured 15.8 ms at DHD-L scale (P=1.49M), while
+    # gathering the same information as feat rows from the SMALL per-pixel
+    # table (B*N*fH*fW = 17k rows) plus one per-point scalar and fusing the
+    # product after the gather measured ~3.4x faster — and skips
+    # materializing the (P, C+1) expansion entirely.  The height gate rides
+    # in the scalar's SIGN (sign(dgg) = gate, |dgg| = depth): band_mask is
+    # {0,1} (argmax bands, band_masks_from_height), softmax depth is >= 0,
+    # and a gated-off point whose depth underflowed to +0 contributes
+    # exactly 0 either way, so dropping it keeps bit-exactness.
     dt = feat.dtype
     bg = plan["band_grid"]                        # (B,N,fH,fW,D) int32
     gate = ((bg == 0) * band_mask[..., 0:1]
             + (bg == 1) * band_mask[..., 1:2]
-            + (bg == 2) * band_mask[..., 2:3]).astype(dt)
-    vals = depth.astype(dt)[..., None] * feat[..., None, :]
-    packed = jnp.concatenate([vals, gate[..., None]], axis=-1)
-    rows = jnp.take(packed.reshape(-1, c + 1), plan["order2"], axis=0)
-    vals_s = rows[:, :c]
-    segv_gated = jnp.where(rows[:, c] > 0, plan["segv_s"], num_vox)
+            + (bg == 2) * band_mask[..., 2:3])
+    dep = depth.astype(jnp.float32)
+    dgg = jnp.where(gate > 0, dep, -dep)          # (B,N,fH,fW,D) f32
+    dgg_s = jnp.take(dgg.reshape(-1), plan["order2"], axis=0)
+    feat_s = jnp.take(feat.reshape(-1, c), plan["pixel_s"], axis=0)
+    vals_s = jnp.abs(dgg_s).astype(dt)[:, None] * feat_s
+    segv_gated = jnp.where(dgg_s > 0, plan["segv_s"], num_vox)
 
     vox, bev = mghs_pool_sorted_dual(
         vals_s, segv_gated, plan["segb_s"], plan["key_s"], num_vox, dz,
