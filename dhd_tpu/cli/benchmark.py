@@ -211,6 +211,19 @@ def main():
         dt_s = (time.perf_counter() - t0) / args.iters
         print(f"{args.preset} train step: {dt_s * 1e3:.2f} ms/iter = "
               f"{args.batch_size / dt_s:.2f} samples/s")
+        try:
+            # XLA-cost-analysis FLOPs of the compiled train step -> MFU
+            # (wall-clock based; the profiler device time is ~1-2 ms less
+            # through the tunnel). 197 bf16 TFLOP/s = v5e public peak.
+            ca = step_fn.lower(state, tbatch, rng).compile().cost_analysis()
+            fl = float(ca.get("flops", float("nan")))
+            dev = str(jax.devices()[0])
+            peak = 197e12 if "v5 lite" in dev else float("nan")
+            print(f"train flops {fl / 1e12:.2f} T (XLA cost analysis); "
+                  f"MFU {100 * fl / (dt_s * peak):.1f}% wall-clock "
+                  f"on {dev}")
+        except Exception as e:              # pragma: no cover
+            print(f"cost_analysis failed: {e}")
         if args.profile:
             from dhd_tpu.profiling import trace_device
             n_prof = min(args.iters, 4)

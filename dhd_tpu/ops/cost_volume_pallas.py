@@ -360,6 +360,23 @@ def stereo_cost_volume_pallas(prev_feat: jnp.ndarray, curr_feat: jnp.ndarray,
     """
     b, n, hs, ws, c = curr_feat.shape
     d = frustum.shape[0]
+    # the kernel's single-buffered prev-frame scratch is (hs, c, wpad) in
+    # the feature dtype; beyond ~15 MiB it cannot fit the 16 MiB VMEM
+    # scoped limit (fp32 DHD-M measures 16.0 MiB + 344 KiB of blocks).
+    # Fall back to the exact XLA path instead of failing at compile.
+    wpad_guard = -(-ws // TILE_W) * TILE_W
+    scratch = hs * c * wpad_guard * jnp.dtype(prev_feat.dtype).itemsize
+    if scratch > 15 * 2 ** 20:
+        import logging
+
+        from .cost_volume import stereo_cost_volume
+        logging.getLogger(__name__).warning(
+            "cost-volume: prev-frame VMEM scratch %.1f MiB exceeds the "
+            "16 MiB budget at dtype %s — using the exact XLA path",
+            scratch / 2 ** 20, prev_feat.dtype)
+        return stereo_cost_volume(prev_feat, curr_feat, frustum, k2s_sensor,
+                                  intrins, post_rots, post_trans, bias=bias,
+                                  method="xla", out_layout=out_layout)
     if static is not None:
         plan = cv_plan_from_static(static, k2s_sensor, win_rows=win_rows)
     else:

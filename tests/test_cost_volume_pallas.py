@@ -254,3 +254,39 @@ def test_cv_static_plan_and_hwd_layout():
                                  out_layout="hwd")
     np.testing.assert_allclose(np.asarray(ref_hwd), np.asarray(out_hwd),
                                atol=2e-3, rtol=1e-3)
+
+
+def test_vmem_scratch_guard_falls_back_to_xla():
+    """Shapes whose prev-frame VMEM scratch cannot fit the 16 MiB scoped
+    limit (e.g. fp32 DHD-M: 64x256x256 fp32 = 16.0 MiB) must take the
+    exact XLA path instead of failing at Mosaic compile."""
+    b, n, cs, hs, ws = 1, 1, 256, 64, 230           # wpad=256
+    h_img, w_img = hs * 4, ws * 4
+    depth_grid = GridConfig(1.0, 2.5, 0.5)          # D=3
+    frustum = create_frustum(depth_grid, (h_img, w_img), downsample=4)
+    intr, post_rots, post_trans, k2s = _geometry(b, n, h_img, w_img,
+                                                 seed=11, rot=False)
+    rng = np.random.default_rng(12)
+    prev = rng.normal(0, 1, (b, n, hs, ws, cs)).astype(np.float32)
+    curr = rng.normal(0, 1, (b, n, hs, ws, cs)).astype(np.float32)
+    args = (jnp.asarray(prev), jnp.asarray(curr),
+            jnp.asarray(np.asarray(frustum, np.float32)), jnp.asarray(k2s),
+            jnp.asarray(intr), jnp.asarray(post_rots),
+            jnp.asarray(post_trans))
+    ref = stereo_cost_volume(*args, bias=5.0, method="xla")
+    out = stereo_cost_volume_pallas(*args, bias=5.0, interpret=True)
+    # same math, different jit scopes: fp32 reassociation of the C=256
+    # channel sum moves softmax probs by ~3e-4
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+    # hwd layout rides the fallback too
+    out_hwd = stereo_cost_volume_pallas(*args, bias=5.0, interpret=True,
+                                        out_layout="hwd")
+    ref_hwd = stereo_cost_volume(*args, bias=5.0, method="xla",
+                                 out_layout="hwd")
+    np.testing.assert_allclose(np.asarray(out_hwd), np.asarray(ref_hwd),
+                               atol=1e-3)
+    # bf16 at the same shape fits (8 MiB) and must still take the kernel:
+    # the guard keys on bytes, not shape
+    from dhd_tpu.ops import cost_volume_pallas as cvp
+    scratch = hs * cs * 256 * 2
+    assert scratch <= 15 * 2 ** 20
