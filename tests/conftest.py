@@ -15,3 +15,13 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache for the test suite (separate dir from the TPU
+# cache): the fast lane spends >2 min of its ~6 min budget compiling the
+# same fixture models every run on this 1-core box; the cache is keyed on
+# the HLO hash so it can never mask a code change.
+_cache = os.path.expanduser("~/.cache/dhd_tpu/xla-cpu-tests")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
