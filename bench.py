@@ -4,9 +4,13 @@ DHD-M / DHD-L streaming latency.
 
 Prints one JSON metric line per model; the HEADLINE line (DHD-S fps) is
 LAST.  Each line carries its audit trail:
-  value        — wall-clock (chained iterations ending in a host read, so
-                 neither caching nor async dispatch in the device tunnel
-                 can fake it; the tunnel's block_until_ready does not block)
+  value        — wall-clock of ONE jit call running all iterations in an
+                 on-device lax.fori_loop (each iteration consumes the
+                 previous output, the call ends in a host read — neither
+                 caching nor async dispatch in the device tunnel can fake
+                 it, and the tunnel's day-to-day per-dispatch overhead
+                 (~1-2 ms/call, absent on a direct-attached chip) does not
+                 pollute the throughput)
   device_ms    — jax.profiler device-trace time of the step module (what
                  the chip actually ran; the tunnel adds ~1-2 ms/dispatch of
                  host overhead on top)
@@ -71,51 +75,56 @@ def bench_dhd_s():
         lambda b: build_batch_pool_plan(cfg, b))(batch)
 
     @jax.jit
-    def step(variables, batch, carry):
-        b = dict(batch)
-        # chain iterations: perturb the images by a scalar derived from the
-        # previous output so every step must actually execute.
-        b["imgs"] = batch["imgs"] + carry.astype(batch["imgs"].dtype)
-        out = model.apply({"params": variables["params"],
-                           "batch_stats": variables["batch_stats"]},
-                          b, train=False)["occ_logits"]
-        new_carry = jnp.tanh(jnp.mean(out)) * 1e-6
-        return new_carry
+    def step(variables, batch, carry, n):
+        # chain n iterations ON DEVICE: each perturbs the images by a
+        # scalar derived from the previous output, so every step must
+        # actually execute; n is a traced scalar so warmup and the timed
+        # run share one executable.
+        def body(_, c):
+            b = dict(batch)
+            b["imgs"] = batch["imgs"] + c.astype(batch["imgs"].dtype)
+            out = model.apply({"params": variables["params"],
+                               "batch_stats": variables["batch_stats"]},
+                              b, train=False)["occ_logits"]
+            return jnp.tanh(jnp.mean(out)) * 1e-6
+        return jax.lax.fori_loop(0, n, body, carry)
 
     carry = jnp.zeros((), jnp.float32)
     # compile + warmup (forced to completion by the host read)
     t0 = time.perf_counter()
-    carry = step(variables, batch, carry)
+    carry = step(variables, batch, carry, 1)
     _ = float(carry)
     print(f"compile: {time.perf_counter() - t0:.1f}s on {jax.devices()[0]}",
           file=sys.stderr)
     for _ in range(3):
-        carry = step(variables, batch, carry)
+        carry = step(variables, batch, carry, 1)
     _ = float(carry)
 
     iters = 30
     t0 = time.perf_counter()
-    for _ in range(iters):
-        carry = step(variables, batch, carry)
+    carry = step(variables, batch, carry, iters)
     _ = float(carry)          # host round-trip: forces full completion
     dt = time.perf_counter() - t0
     fps = iters * batch_size / dt
 
-    # FLOPs from the compiled executable, not a hand count
+    # FLOPs from the compiled executable, not a hand count.  The loop body
+    # runs `n` times but XLA's cost analysis counts the while-body once
+    # (trip count is dynamic), so this is per-forward as before.
     flops = float("nan")
     try:
-        compiled = step.lower(variables, batch, carry).compile()
+        compiled = step.lower(variables, batch, carry, 1).compile()
         flops = float(compiled.cost_analysis().get("flops", float("nan")))
     except Exception as e:                          # pragma: no cover
         print(f"cost_analysis failed: {e}", file=sys.stderr)
 
-    # device time from a profiler trace (drop the first traced run)
+    # device time from a profiler trace (drop the first traced run);
+    # each traced call runs ONE iteration so module time == step time
     device_ms = None
     try:
         def run():
             c = jnp.zeros((), jnp.float32)
             for _ in range(6):
-                c = step(variables, batch, c)
+                c = step(variables, batch, c, 1)
             _ = float(c)
         device_ms = module_ms(trace_device(run), "step", drop_first=1)
     except Exception as e:                          # pragma: no cover
@@ -177,20 +186,26 @@ def bench_stream(preset: str):
         v, b, train=False, cache={}))(variables, sbatch)
 
     @jax.jit
-    def step(c, batch, cache, variables):
-        b = dict(batch)
-        b["imgs"] = batch["imgs"] + c.astype(batch["imgs"].dtype)
-        out, new_cache = model.apply(variables, b, train=False, cache=cache)
-        return (jnp.tanh(jnp.mean(out["occ_logits"].astype(jnp.float32)))
-                * 1e-6, new_cache)
+    def step(c, batch, cache, variables, n):
+        # n chained steps on device (see module docstring); the streaming
+        # cache threads through the loop carry exactly as it would across
+        # frames in deployment.
+        def body(_, carry):
+            ci, cache_i = carry
+            b = dict(batch)
+            b["imgs"] = batch["imgs"] + ci.astype(batch["imgs"].dtype)
+            out, new_cache = model.apply(variables, b, train=False,
+                                         cache=cache_i)
+            return (jnp.tanh(jnp.mean(
+                out["occ_logits"].astype(jnp.float32))) * 1e-6, new_cache)
+        return jax.lax.fori_loop(0, n, body, (c, cache))
 
     c = jnp.zeros((), jnp.float32)
-    c, cache = step(c, sbatch, cache, variables)
+    c, cache = step(c, sbatch, cache, variables, 1)
     _ = float(c)
     iters = 15
     t0 = time.perf_counter()
-    for _ in range(iters):
-        c, cache = step(c, sbatch, cache, variables)
+    c, cache = step(c, sbatch, cache, variables, iters)
     _ = float(c)
     ms = (time.perf_counter() - t0) / iters * 1e3
 
@@ -199,7 +214,7 @@ def bench_stream(preset: str):
         def run():
             nonlocal c, cache
             for _ in range(5):
-                c, cache = step(c, sbatch, cache, variables)
+                c, cache = step(c, sbatch, cache, variables, 1)
             _ = float(c)
         device_ms = module_ms(trace_device(run), "step", drop_first=1)
     except Exception as e:                          # pragma: no cover

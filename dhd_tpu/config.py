@@ -105,6 +105,11 @@ class DepthNetConfig:
     use_dcn: bool = True
     use_aspp: bool = True
     aspp_mid_channels: int = -1
+    # ASPP dropout rate (reference depthnet.py:115 hardcodes 0.5).  The
+    # micro dryrun presets set 0.0: dropout masks are keyed by batch
+    # POSITION, so the multichip dryrun's sample-permutation invariance
+    # check is only meaningful on deterministic math.
+    aspp_dropout: float = 0.5
     stereo: bool = False
     bias: float = 0.0
 
@@ -319,9 +324,13 @@ def dhd_micro_stereo() -> ModelConfig:
         img_neck_in_channels=(64, 128),
         img_neck_out_channels=16,
         depth_net="full",
+        # aspp_dropout=0: see DepthNetConfig — keeps the dryrun's
+        # sample-permutation invariance check deterministic
         depthnet_cfg=DepthNetConfig(stereo=True, use_dcn=False,
-                                    aspp_mid_channels=8, bias=5.0),
-        heightnet_cfg=DepthNetConfig(use_dcn=False, aspp_mid_channels=8),
+                                    aspp_mid_channels=8, bias=5.0,
+                                    aspp_dropout=0.0),
+        heightnet_cfg=DepthNetConfig(use_dcn=False, aspp_mid_channels=8,
+                                     aspp_dropout=0.0),
         vt=vt,
         pre_process=True,
         bev_encoder_channels=(16, 32, 64),
@@ -355,8 +364,12 @@ def dhd_micro() -> ModelConfig:
         img_neck_in_channels=(64, 128),
         img_neck_out_channels=16,
         depth_net="full",
-        depthnet_cfg=DepthNetConfig(use_dcn=False, aspp_mid_channels=8),
-        heightnet_cfg=DepthNetConfig(use_dcn=False, aspp_mid_channels=8),
+        # aspp_dropout=0: see DepthNetConfig — keeps the dryrun's
+        # sample-permutation invariance check deterministic
+        depthnet_cfg=DepthNetConfig(use_dcn=False, aspp_mid_channels=8,
+                                    aspp_dropout=0.0),
+        heightnet_cfg=DepthNetConfig(use_dcn=False, aspp_mid_channels=8,
+                                     aspp_dropout=0.0),
         vt=vt,
         bev_encoder_channels=(16, 32, 64),
         bev_neck_out_channels=32,

@@ -160,7 +160,8 @@ class _DistributionNet(nn.Module):
         if self.cfg.use_aspp:
             mid = (self.cfg.aspp_mid_channels
                    if self.cfg.aspp_mid_channels > 0 else self.mid_channels)
-            x = ASPP(mid, self.mid_channels, dtype=self.dtype,
+            x = ASPP(mid, self.mid_channels,
+                     dropout_rate=self.cfg.aspp_dropout, dtype=self.dtype,
                      name="aspp")(x, train)
         if self.cfg.use_dcn:
             x = DeformConv(self.mid_channels, dtype=self.dtype,
