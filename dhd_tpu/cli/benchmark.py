@@ -452,8 +452,9 @@ def main():
     h, w = cfg.vt.input_size
     fh, fw = cfg.vt.feat_size
 
-    def time_mod(name, mod, x, apply=None):
-        v = jax.jit(lambda: mod.init(jax.random.PRNGKey(0), *x))()
+    def time_mod(name, mod, x, apply=None, init=None):
+        ini = init or (lambda: mod.init(jax.random.PRNGKey(0), *x))
+        v = jax.jit(ini)()
         _ = float(jnp.sum(jax.tree.leaves(v)[0].astype(jnp.float32)))
         ap = apply or (lambda v, *x: mod.apply(v, *x))
 
@@ -469,12 +470,24 @@ def main():
     time_mod("img_encoder", ImageEncoder(cfg, dtype=dt),
              (jnp.ones((b * n, h, w, 3), dt),),
              apply=lambda v, x: ImageEncoder(cfg, dtype=dt).apply(v, x)[0])
-    geom = {k: batch[k] for k in ("sensor2keyego", "intrins", "post_rots",
-                                  "post_trans", "bda")}
+    # temporal presets carry frames-major (B, F, ...) geometry — the view
+    # transform sees one frame's worth
+    f0 = (lambda x: x[:, 0]) if cfg.temporal else (lambda x: x)
+    geom = {k: f0(batch[k]) for k in ("sensor2keyego", "intrins",
+                                      "post_rots", "post_trans")}
+    geom["bda"] = batch["bda"]
     vtm = MGHSTransform(cfg, dtype=dt)
     feat = jnp.ones((b, n, fh, fw, cfg.vt.in_channels), dt) * 0.01
-    time_mod("view_transform", vtm, (feat, geom),
-             apply=lambda v, f, g: vtm.apply(v, f, g)["vox"])
+    if cfg.stereo:
+        cv = jnp.full((b * n, 4 * fh, 4 * fw, cfg.vt.D), 1.0 / cfg.vt.D, dt)
+        time_mod("view_transform", vtm, (feat, geom),
+                 apply=lambda v, f, g: vtm.apply(v, f, g,
+                                                 cost_volume=cv)["vox"],
+                 init=lambda: vtm.init(jax.random.PRNGKey(0), feat, geom,
+                                       cost_volume=cv))
+    else:
+        time_mod("view_transform", vtm, (feat, geom),
+                 apply=lambda v, f, g: vtm.apply(v, f, g)["vox"])
     dy, dx = cfg.vt.y.size, cfg.vt.x.size
     time_mod("bev_encoder", BEVEncoder(cfg, dtype=dt),
              (jnp.ones((b, dy, dx, cfg.vt.out_channels), dt) * 0.01,))

@@ -207,6 +207,10 @@ class ModelConfig:
     # for any geometry.
     cv_method: str = "auto"
     cv_win_rows: int = 2
+    # Swin window-attention backend for inference: 'auto' = fused Pallas
+    # kernel on TPU (ops/window_attention.py), XLA einsum elsewhere and
+    # for training; 'xla' / 'pallas' force one
+    attn_method: str = "auto"
 
     @property
     def num_frames(self) -> int:

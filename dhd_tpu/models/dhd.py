@@ -93,6 +93,9 @@ class ImageEncoder(nn.Module):
                 out_indices=cfg.backbone_out_indices
                 if not stereo else (2, 3),
                 remat=cfg.backbone_remat,
+                attn_kernel=cfg.attn_method == "pallas" or (
+                    cfg.attn_method == "auto"
+                    and jax.default_backend() == "tpu"),
                 dtype=self.dtype, name="backbone")(
                 imgs, train, stage0_only=stage0_only)
         else:

@@ -81,6 +81,10 @@ class WindowMSA(nn.Module):
     dim: int
     num_heads: int
     window_size: int
+    # fuse QK^T+bias+mask+softmax+AV in a Pallas kernel (inference on TPU;
+    # the XLA path materializes the (nWB, h, N, N) attention tensor in HBM
+    # ~4x per block — ops/window_attention.py)
+    use_kernel: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -91,10 +95,6 @@ class WindowMSA(nn.Module):
         head_dim = c // h
         qkv = nn.Dense(c * 3, use_bias=True, dtype=self.dtype,
                        name="qkv")(x)
-        qkv = qkv.reshape(nwb, n, 3, h, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (nWB, N, h, d)
-        q = q * (head_dim ** -0.5)
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k)
 
         ws = self.window_size
         table = self.param(
@@ -102,8 +102,22 @@ class WindowMSA(nn.Module):
             nn.initializers.truncated_normal(0.02),
             ((2 * ws - 1) ** 2, h), jnp.float32)
         idx = jnp.asarray(_relative_position_index(ws))
-        bias = table[idx.reshape(-1)].reshape(n, n, h)
-        attn = attn + jnp.transpose(bias, (2, 0, 1))[None].astype(attn.dtype)
+        bias = jnp.transpose(table[idx.reshape(-1)].reshape(n, n, h),
+                             (2, 0, 1))                      # (h, N, N)
+
+        if self.use_kernel:
+            from dhd_tpu.ops.window_attention import window_attention_pallas
+            m = (mask.astype(self.dtype) if mask is not None
+                 else jnp.zeros((1, n, n), self.dtype))
+            out = window_attention_pallas(qkv, bias.astype(self.dtype), m,
+                                          heads=h)
+            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+        qkv = qkv.reshape(nwb, n, 3, h, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (nWB, N, h, d)
+        q = q * (head_dim ** -0.5)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k)
+        attn = attn + bias[None].astype(attn.dtype)
 
         if mask is not None:
             nw = mask.shape[0]
@@ -123,6 +137,7 @@ class SwinBlock(nn.Module):
     shift: bool
     drop_path: float
     mlp_ratio: int = 4
+    attn_kernel: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -145,8 +160,14 @@ class SwinBlock(nn.Module):
         else:
             mask = None
         wins = window_partition(y, ws)
-        wins = WindowMSA(self.dim, self.num_heads, ws, dtype=self.dtype,
-                         name="attn")(wins, mask)
+        # the fused kernel is inference-only (no custom_vjp; training keeps
+        # the XLA einsum path whose backward XLA fuses).  At heads > 16
+        # (Swin-B stage 3: few, large windows) the per-(window, head) dot
+        # loop is latency-bound and measures slower than XLA — keep XLA.
+        wins = WindowMSA(self.dim, self.num_heads, ws,
+                         use_kernel=(self.attn_kernel and not train
+                                     and self.num_heads <= 16),
+                         dtype=self.dtype, name="attn")(wins, mask)
         y = window_reverse(wins, ws, hp, wp)
         if shift:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
@@ -196,6 +217,8 @@ class SwinTransformer(nn.Module):
     # rematerialize each block in the backward (reference with_cp; on TPU
     # this is what fits DHD-L 512x1408 training into one chip's HBM)
     remat: bool = False
+    # fused Pallas window attention for inference (config.attn_method)
+    attn_kernel: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -219,6 +242,7 @@ class SwinTransformer(nn.Module):
             for d in range(depth):
                 x = block_cls(dim, self.num_heads[i], self.window_size,
                               shift=(d % 2 == 1), drop_path=dpr[blk_id],
+                              attn_kernel=self.attn_kernel,
                               dtype=self.dtype,
                               name=f"stage{i}_block{d}")(x, hw, train)
                 blk_id += 1

@@ -222,7 +222,7 @@ def build_pool_plan(idx: PoolIndices, vt: ViewTransformConfig,
                             idx.num_seg_bev),
         "band_s": jnp.take(idx.band, order),
         "pixel_s": pixel_s,
-        "order2": pixel_s * d + bin_s,
+        "bin_s": bin_s,
         "band_grid": jnp.transpose(
             idx.band.reshape(b, n, d, fh, fw), (0, 1, 3, 4, 2)),
         "tables": dual_visit_tables(key_s, num_vox),
@@ -268,18 +268,22 @@ def mghs_pool_pallas(depth: jnp.ndarray, feat: jnp.ndarray,
         plan = build_pool_plan(idx, vt, (b, n, d, fh, fw))
     num_vox = b * dy * dx * dz
 
-    # Per-frame work: TWO gathers into sorted-point order, then the kernel.
-    # TPU gather throughput is dominated by the source-table working set,
-    # not bytes moved: gathering pre-expanded (P, C+1) depth*feat rows from
-    # a P-row table measured 15.8 ms at DHD-L scale (P=1.49M), while
-    # gathering the same information as feat rows from the SMALL per-pixel
-    # table (B*N*fH*fW = 17k rows) plus one per-point scalar and fusing the
-    # product after the gather measured ~3.4x faster — and skips
-    # materializing the (P, C+1) expansion entirely.  The height gate rides
-    # in the scalar's SIGN (sign(dgg) = gate, |dgg| = depth): band_mask is
-    # {0,1} (argmax bands, band_masks_from_height), softmax depth is >= 0,
-    # and a gated-off point whose depth underflowed to +0 contributes
-    # exactly 0 either way, so dropping it keeps bit-exactness.
+    # Per-frame work: ONE row gather into sorted-point order, then the
+    # kernel.  TPU gather throughput is row-count-bound, not byte-bound: a
+    # per-point SCALAR gather of the gated depth measured 10.6 ms at DHD-L
+    # scale (P=1.49M; ~150M elem/s is the TPU scalar-gather floor), and
+    # pre-expanded (P, C+1) depth*feat rows from a P-row table 15.8 ms.
+    # Gathering [feat row | gated-depth row] in one pass from the SMALL
+    # per-pixel table (B*N*fH*fW = 17k rows, C+D lanes) and selecting the
+    # point's depth bin with a one-hot on lanes (exactly one nonzero, so
+    # the select is exact) costs one 2.6-ms-class row gather + a fused VPU
+    # reduce.  The height gate rides in the depth's SIGN (sign = gate,
+    # |.| = depth): band_mask is {0,1} (argmax bands), softmax depth is
+    # >= 0, and a gated-off point whose bf16-cast depth underflowed to +0
+    # contributes exactly 0 either way, so dropping it keeps bit-exactness
+    # (bf16 shares f32's exponent range — only f32 values < 2^-133 round
+    # to zero — and bf16(|x|) == |bf16(x)|, so casting the table to the
+    # feature dtype BEFORE the gather leaves vals_s bit-identical).
     dt = feat.dtype
     bg = plan["band_grid"]                        # (B,N,fH,fW,D) int32
     gate = ((bg == 0) * band_mask[..., 0:1]
@@ -287,9 +291,13 @@ def mghs_pool_pallas(depth: jnp.ndarray, feat: jnp.ndarray,
             + (bg == 2) * band_mask[..., 2:3])
     dep = depth.astype(jnp.float32)
     dgg = jnp.where(gate > 0, dep, -dep)          # (B,N,fH,fW,D) f32
-    dgg_s = jnp.take(dgg.reshape(-1), plan["order2"], axis=0)
-    feat_s = jnp.take(feat.reshape(-1, c), plan["pixel_s"], axis=0)
-    vals_s = jnp.abs(dgg_s).astype(dt)[:, None] * feat_s
+    table = jnp.concatenate(
+        [feat.reshape(-1, c), dgg.astype(dt).reshape(-1, d)], axis=-1)
+    gath = jnp.take(table, plan["pixel_s"], axis=0)      # (P, C+D)
+    onehot = (plan["bin_s"][:, None]
+              == jax.lax.iota(jnp.int32, d)[None, :]).astype(dt)
+    dgg_s = jnp.sum(gath[:, c:] * onehot, axis=-1)       # (P,) dt
+    vals_s = jnp.abs(dgg_s)[:, None] * gath[:, :c]
     segv_gated = jnp.where(dgg_s > 0, plan["segv_s"], num_vox)
 
     vox, bev = mghs_pool_sorted_dual(

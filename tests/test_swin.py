@@ -104,3 +104,55 @@ def test_swin_grads_finite():
     flat = jax.tree.leaves(g)
     assert all(np.isfinite(np.asarray(t)).all() for t in flat)
     assert any(float(jnp.abs(t).sum()) > 0 for t in flat)
+
+
+def test_window_attention_kernel_matches_xla():
+    """Fused Pallas window attention (interpret mode) == the XLA einsum
+    path, masked and unmasked (ops/window_attention.py)."""
+    from dhd_tpu.ops.window_attention import window_attention_pallas
+    rng = np.random.default_rng(0)
+    for n_img, heads, c in [(1, 2, 32), (4, 4, 64)]:
+        w, n = 8, 16
+        hd = c // heads
+        qkv = jnp.asarray(rng.normal(0, 1, (w, n, 3 * c)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(0, 1, (heads, n, n))
+                           .astype(np.float32))
+        if n_img == 1:
+            mask = jnp.zeros((1, n, n), jnp.float32)
+        else:
+            mask = jnp.asarray(
+                (rng.integers(0, 2, (n_img, n, n)) * -100.0)
+                .astype(np.float32))
+
+        # the XLA einsum composition (nn/swin.py WindowMSA)
+        qr = qkv.reshape(w, n, 3, heads, hd)
+        q, k, v = qr[:, :, 0], qr[:, :, 1], qr[:, :, 2]
+        q = q * (hd ** -0.5)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) + bias[None]
+        attn = attn.reshape(w // n_img, n_img, heads, n, n) \
+            + mask[None, :, None]
+        attn = attn.reshape(w, heads, n, n)
+        p = jax.nn.softmax(attn, axis=-1)
+        ref = jnp.einsum("bhnm,bmhd->bnhd", p, v).reshape(w, n, c)
+
+        out = window_attention_pallas(qkv, bias, mask, heads=heads,
+                                      interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_swin_attn_kernel_matches_xla_model():
+    """attn_kernel=True (interpret-capable only via op test above on CPU;
+    here: the flag plumbs through and train=True keeps the XLA path)."""
+    m0 = _small_swin(return_stereo_feat=False)
+    m1 = _small_swin(return_stereo_feat=False, attn_kernel=True)
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        0, 1, (1, 16, 16, 3)).astype(np.float32))
+    variables = m0.init(jax.random.PRNGKey(0), x)
+    # train=True forces the XLA path even with the flag on -> identical
+    a = m0.apply(variables, x, train=True,
+                 rngs={"dropout": jax.random.PRNGKey(1)})
+    b = m1.apply(variables, x, train=True,
+                 rngs={"dropout": jax.random.PRNGKey(1)})
+    for t0, t1 in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
