@@ -109,11 +109,25 @@ def bench_dhd_s():
 
     # FLOPs from the compiled executable, not a hand count.  The loop body
     # runs `n` times but XLA's cost analysis counts the while-body once
-    # (trip count is dynamic), so this is per-forward as before.
+    # (trip count is dynamic — n is a traced scalar, so the lowering is
+    # n-independent by construction).  That while-body-once behavior is
+    # undocumented, so cross-check against a LOOP-FREE single forward: if
+    # the two disagree beyond fusion noise, trust the loop-free count.
     flops = float("nan")
     try:
         compiled = step.lower(variables, batch, carry, 1).compile()
         flops = float(compiled.cost_analysis().get("flops", float("nan")))
+        plain = jax.jit(lambda v, b: model.apply(
+            {"params": v["params"], "batch_stats": v["batch_stats"]},
+            b, train=False)["occ_logits"])
+        flops_plain = float(plain.lower(variables, batch).compile()
+                            .cost_analysis().get("flops", float("nan")))
+        if flops_plain == flops_plain and \
+                not 0.9 < flops / flops_plain < 1.1:
+            print(f"cost-analysis loop-count check FAILED: fori_loop "
+                  f"{flops / 1e9:.0f} G vs loop-free {flops_plain / 1e9:.0f}"
+                  f" G — using loop-free", file=sys.stderr)
+            flops = flops_plain
     except Exception as e:                          # pragma: no cover
         print(f"cost_analysis failed: {e}", file=sys.stderr)
 

@@ -18,6 +18,7 @@ import argparse
 import json
 import os
 import pickle
+import zlib
 from typing import Dict, List
 
 CAM_NAMES = (
@@ -32,6 +33,14 @@ try:
     from nuscenes.utils.splits import val as VAL_SCENES  # type: ignore
 except Exception:                                    # pragma: no cover
     TRAIN_SCENES = VAL_SCENES = None
+
+
+def fallback_is_val(scene_token: str) -> bool:
+    """Deterministic 85/15 split by scene digest when the devkit split
+    lists are unavailable.  crc32 is stable across processes and
+    platforms; Python's ``hash()`` is salted per process (PYTHONHASHSEED)
+    and would give a different split each run."""
+    return (zlib.crc32(scene_token.encode()) % 100) < 15
 
 
 def load_table(root: str, version: str, name: str) -> List[dict]:
@@ -105,11 +114,8 @@ def build_infos(data_root: str, version: str) -> Dict[str, List[dict]]:
         train = [i for i in infos if i["scene_name"] in set(TRAIN_SCENES)]
         val = [i for i in infos if i["scene_name"] in set(VAL_SCENES)]
     else:
-        # fallback: deterministic split by scene hash (85/15)
-        def is_val(i):
-            return (hash(i["scene_token"]) % 100) < 15
-        train = [i for i in infos if not is_val(i)]
-        val = [i for i in infos if is_val(i)]
+        train = [i for i in infos if not fallback_is_val(i["scene_token"])]
+        val = [i for i in infos if fallback_is_val(i["scene_token"])]
     return {"train": train, "val": val}
 
 

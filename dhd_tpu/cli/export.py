@@ -31,9 +31,14 @@ def main():
     p.add_argument("--int8", action="store_true",
                    help="quantize the image-encoder convs to int8 "
                         "(per-tensor activation scales calibrated on "
-                        "--calib-batches synthetic batches, or supply real "
-                        "data via --ann-file in a future revision)")
+                        "--calib-batches batches: real data when "
+                        "--ann-file is given, synthetic otherwise)")
     p.add_argument("--calib-batches", type=int, default=2)
+    p.add_argument("--ann-file", default=None,
+                   help="infos .pkl for real-data int8 calibration (the "
+                        "analogue of convert_bevdet_to_TRT.py's HDF5 "
+                        "calibration set, :42-120)")
+    p.add_argument("--data-root", default="")
     args = p.parse_args()
 
     import os
@@ -68,12 +73,35 @@ def main():
 
     if args.int8:
         from dhd_tpu.nn.quant import calibrate_int8, quantize_fn
-        calib = [{k: jnp.asarray(v) for k, v in synthetic_batch(
-            cfg, args.batch_size, with_gt=False, seed=100 + i).items()}
-            for i in range(args.calib_batches)]
+        if args.ann_file:
+            # real-data calibration (convert_bevdet_to_TRT.py:42-120 reads
+            # an HDF5 calib set; here the eval pipeline feeds real samples)
+            from dhd_tpu.data.nuscenes import NuScenesOccDataset
+            from dhd_tpu.data.pipeline import SamplePipeline, collate
+            ds = NuScenesOccDataset(args.ann_file, args.data_root,
+                                    num_adj_frames=cfg.num_adj_frames,
+                                    stereo=cfg.stereo)
+            pipe = SamplePipeline(cfg, is_train=False,
+                                  data_root=args.data_root)
+            n = min(len(ds), args.calib_batches * args.batch_size)
+            raw = [collate([pipe(ds.get_sample(j)) for j in
+                            range(i, min(i + args.batch_size, n))])
+                   for i in range(0, n, args.batch_size)]
+            # calibration batches must match the export batch size (one
+            # program specialization); drop a short tail batch
+            raw = [b for b in raw
+                   if b["imgs"].shape[0] == args.batch_size]
+            calib = [{k: jnp.asarray(v) for k, v in b.items()
+                      if k in batch} for b in raw]
+            src = f"real ({args.ann_file})"
+        else:
+            calib = [{k: jnp.asarray(v) for k, v in synthetic_batch(
+                cfg, args.batch_size, with_gt=False, seed=100 + i).items()}
+                for i in range(args.calib_batches)]
+            src = "synthetic"
         scales = calibrate_int8(infer, calib, QUANT_PREFIXES)
         print(f"calibrated {len(scales)} conv activation scales "
-              f"({args.calib_batches} batches, prefixes={QUANT_PREFIXES})")
+              f"({len(calib)} {src} batches, prefixes={QUANT_PREFIXES})")
         infer = quantize_fn(infer, scales, QUANT_PREFIXES)
 
     exported = jexport.export(jax.jit(infer))(batch)

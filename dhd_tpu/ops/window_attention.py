@@ -16,11 +16,17 @@ leaves VMEM.  Matmul shapes are the same small (N, d)x(N, d)^T dots XLA
 runs (MXU utilization is bounded by head_dim=32 either way) — the win is
 pure memory traffic + convert elimination.
 
-Numerics mirror the XLA path op-for-op: bf16 q*scale, bf16 dots with f32
-accumulation, bias/mask added in the compute dtype, row softmax in f32
-(x - max, exp, /sum — jax.nn.softmax's form), AV in bf16 with f32
-accumulation.  Differences vs the XLA path are accumulation-order-level
-(~1 ulp); tests/test_swin.py pins interpret-mode parity.
+Numerics follow the XLA path's structure (bf16 q*scale, dots with f32
+accumulation, bias/mask add, x-max/exp/sum softmax, AV) with two
+intentional deviations: scores stay f32 end-to-end (the XLA path rounds
+QK^T through bf16 before its f32 softmax — f32 here is strictly tighter),
+and the softmax denominator is folded into a row-scale AFTER the AV dot
+(whose numerator is bf16).  Outputs are therefore NOT bit-identical
+across attn_method settings — differences are bf16-rounding-level and
+benign for inference; tests/test_swin.py pins interpret-mode parity and
+tools/check_attn_parity.py pins the compiled-TPU lowering at real DHD-L
+stage shapes (all four head counts, shifted + unshifted — results in
+README "Performance notes").
 
 Reference behaviour being reproduced: models/backbones/swin.py:305-352
 (WindowMSA.forward: qkv split, scaled QK^T, relative_position_bias, shift
@@ -95,6 +101,11 @@ def window_attention_pallas(qkv: jnp.ndarray, bias: jnp.ndarray,
     c = c3 // 3
     hd = c // heads
     n_img = mask.shape[0]
+    # misuse must fail loudly at trace time: grid=(w//g,) floors, so a W
+    # that g does not divide would silently leave trailing output windows
+    # unwritten, and W % n_img != 0 would misalign the shifted masks
+    assert c % heads == 0, (c, heads)
+    assert w % n_img == 0, (w, n_img)
     if n_img == 1:
         # unshifted: any group dividing W works; the one zero mask repeats
         g = _pick_group(w, n, c)

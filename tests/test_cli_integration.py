@@ -46,6 +46,20 @@ def test_test_cli_rayiou_on_fixture(tmp_path):
     assert "RayIoU@1" in r.stdout
 
 
+def test_export_cli_int8_real_data_calibration(tmp_path):
+    """--int8 --ann-file calibrates on REAL pipeline batches (the analogue
+    of convert_bevdet_to_TRT.py's HDF5 calibration set, :42-120) and still
+    produces a loadable artifact."""
+    pkl = _write_fixture(str(tmp_path))
+    out = tmp_path / "tiny_int8.stablehlo"
+    r = _run(["dhd_tpu.cli.export", "--preset", "dhd_tiny",
+              "--out", str(out), "--int8", "--ann-file", pkl,
+              "--calib-batches", "2"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "real (" in r.stdout, r.stdout
+    assert out.exists() and out.stat().st_size > 0
+
+
 def test_benchmark_cli_stream_mode():
     """--what stream (the benchmark_sequential.py equivalent): steady-state
     streaming step of the temporal model, cache threaded between iters."""

