@@ -97,14 +97,36 @@ def main():
                   for k, v in synthetic_batch(cfg, args.batch_size,
                                               with_gt=False).items()}
 
-        @jax.jit
-        def step(c, batch):
-            b = dict(batch)
-            b["imgs"] = batch["imgs"] + c.astype(batch["imgs"].dtype)
-            occ = fn(b)                      # (B, Dx, Dy, Dz) uint8 classes
-            return jnp.tanh(jnp.sum(occ.astype(jnp.float32)) * 1e-9)
+        wfile = args.artifact + ".weights.pkl"
+        if os.path.exists(wfile):
+            # program+weights split artifact (the export default): weights
+            # ride as call arguments — device-resident arrays, not compile
+            # payload (a baked 600 MB module breaks remote-compile limits)
+            import pickle
+            with open(wfile, "rb") as f:
+                wvars = jax.tree.map(jnp.asarray, pickle.load(f))
+            call = lambda b, w: exported.call(w, b)       # noqa: E731
+        else:
+            wvars = {}
+            call = lambda b, w: exported.call(b)          # noqa: E731
 
-        dt_s = chained_time(step, args.iters, ebatch)
+        # all iterations inside ONE on-device fori_loop: the artifact's
+        # weight tree is ~800 leaves, and per-call argument marshalling
+        # through the device tunnel costs ~1.5 ms/leaf — a per-iter python
+        # loop measured 1.2 s/iter for a 12.5 ms program
+        @jax.jit
+        def run(batch, wvars, n):
+            def body(_, c):
+                b = dict(batch)
+                b["imgs"] = batch["imgs"] + c.astype(batch["imgs"].dtype)
+                occ = call(b, wvars)         # (B, Dx, Dy, Dz) uint8
+                return jnp.tanh(jnp.sum(occ.astype(jnp.float32)) * 1e-9)
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+        _ = float(run(ebatch, wvars, 1))     # compile + warm
+        t0 = time.perf_counter()
+        _ = float(run(ebatch, wvars, args.iters))
+        dt_s = (time.perf_counter() - t0) / args.iters
         print(f"{args.preset} exported artifact: {dt_s * 1e3:.2f} ms/iter "
               f"= {args.batch_size / dt_s:.1f} samples/s")
         return

@@ -4,6 +4,14 @@ Instead of ONNX->TensorRT engines, the TPU-native deployment artifact is a
 serialized StableHLO program via jax.export: compile once, ship the bytes,
 run anywhere with a matching runtime.
 
+By default the artifact is the idiomatic TPU serving split: a SMALL
+StableHLO program taking the weights as ARGUMENTS, plus a sibling
+``<out>.weights.pkl`` of numpy arrays (weights stay device-resident across
+calls; the program recompiles in seconds on any topology).  TRT bakes
+weights into the engine because engines are per-GPU binaries; on TPU a
+baked 600 MB module also exceeds remote-compile payload limits.  Pass
+``--bake-weights`` for a self-contained single-file artifact.
+
 ``--int8`` adds the TRT-int8 analogue (convert_bevdet_to_TRT.py:42-120):
 calibrate per-tensor activation scales for the image-encoder convs on a
 few batches, then export with those convs running int8 on the MXU
@@ -34,6 +42,9 @@ def main():
                         "--calib-batches batches: real data when "
                         "--ann-file is given, synthetic otherwise)")
     p.add_argument("--calib-batches", type=int, default=2)
+    p.add_argument("--bake-weights", action="store_true",
+                   help="embed weights as program constants (single-file "
+                        "artifact) instead of the program+weights split")
     p.add_argument("--ann-file", default=None,
                    help="infos .pkl for real-data int8 calibration (the "
                         "analogue of convert_bevdet_to_TRT.py's HDF5 "
@@ -67,12 +78,29 @@ def main():
         variables = jax.jit(lambda: model.init(
             jax.random.PRNGKey(0), batch, train=False))()
 
-    def infer(batch):
-        out = model.apply(variables, batch, train=False)
-        return jnp.argmax(out["occ_logits"], axis=-1).astype(jnp.uint8)
+    if args.bake_weights:
+        def infer(batch):
+            out = model.apply(variables, batch, train=False)
+            return jnp.argmax(out["occ_logits"], axis=-1).astype(jnp.uint8)
+    else:
+        def infer(variables, batch):
+            out = model.apply(variables, batch, train=False)
+            return jnp.argmax(out["occ_logits"], axis=-1).astype(jnp.uint8)
 
     if args.int8:
+        import dataclasses
+
         from dhd_tpu.nn.quant import calibrate_int8, quantize_fn
+
+        # calibration needs a remat-free model (amax recording leaks
+        # tracers under nn.remat — see calibrate_int8); remat is
+        # output-invariant so the scales transfer to the exported model
+        calib_model = build_model(
+            dataclasses.replace(cfg, backbone_remat=False), dtype=dtype)
+
+        def infer_calib(v, b):
+            out = calib_model.apply(v, b, train=False)
+            return jnp.argmax(out["occ_logits"], axis=-1).astype(jnp.uint8)
         if args.ann_file:
             # real-data calibration (convert_bevdet_to_TRT.py:42-120 reads
             # an HDF5 calib set; here the eval pipeline feeds real samples)
@@ -99,12 +127,23 @@ def main():
                 cfg, args.batch_size, with_gt=False, seed=100 + i).items()}
                 for i in range(args.calib_batches)]
             src = "synthetic"
-        scales = calibrate_int8(infer, calib, QUANT_PREFIXES)
+        scales = calibrate_int8(infer_calib, calib, QUANT_PREFIXES,
+                                variables=variables)
         print(f"calibrated {len(scales)} conv activation scales "
               f"({len(calib)} {src} batches, prefixes={QUANT_PREFIXES})")
         infer = quantize_fn(infer, scales, QUANT_PREFIXES)
 
-    exported = jexport.export(jax.jit(infer))(batch)
+    if args.bake_weights:
+        exported = jexport.export(jax.jit(infer))(batch)
+    else:
+        exported = jexport.export(jax.jit(infer))(variables, batch)
+        import pickle
+        wfile = args.out + ".weights.pkl"
+        with open(wfile, "wb") as f:
+            pickle.dump(jax.device_get(variables), f,
+                        protocol=pickle.HIGHEST_PROTOCOL)
+        print(f"weights -> {wfile} "
+              f"({os.path.getsize(wfile) / 1e6:.1f} MB)")
     blob = exported.serialize()
     with open(args.out, "wb") as f:
         f.write(blob)

@@ -114,24 +114,37 @@ def int8_interceptor(scales: Dict[str, jnp.ndarray],
     return interceptor
 
 
-def calibrate_int8(apply_fn: Callable, batches,
-                   prefixes: Sequence[str]) -> Dict[str, jnp.ndarray]:
+def calibrate_int8(apply_fn: Callable, batches, prefixes: Sequence[str],
+                   variables=None) -> Dict[str, jnp.ndarray]:
     """Run ``apply_fn(batch)`` over ``batches`` recording conv-input absmax.
 
     Returns {module_path: amax} — the activation-scale table (the HDF5
     calibration-file analogue).  One jit per distinct batch shape.
+
+    ``apply_fn`` must come from a REMAT-FREE model: the interceptor records
+    amax through a side dict, and under ``nn.remat`` those values are
+    tracers of the inner checkpoint trace (UnexpectedTracerError).  Remat
+    is output-invariant, so build the calibration model with
+    ``backbone_remat=False`` and reuse the scales for the remat'd model
+    (cli/export.py does this).  ``quantize_fn`` itself is side-effect-free
+    and works under remat.
+
+    Pass ``variables`` to have ``apply_fn(variables, batch)`` called with
+    the weights as a JIT ARGUMENT — closed-over weights become compile-
+    payload constants, which remote-compile transports cap (HTTP 413 at
+    DHD-S scale through the device tunnel).
     """
     total: Dict[str, jnp.ndarray] = {}
 
     @jax.jit
-    def one(batch):
+    def one(batch, *extra):
         amax: Dict[str, jnp.ndarray] = {}
         with nn.intercept_methods(calibration_interceptor(amax, prefixes)):
-            apply_fn(batch)
+            apply_fn(*extra, batch)
         return amax
 
     for batch in batches:
-        amax = one(batch)
+        amax = one(batch) if variables is None else one(batch, variables)
         for k, v in amax.items():
             total[k] = jnp.maximum(total[k], v) if k in total else v
     return jax.device_get(total)

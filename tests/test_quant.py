@@ -43,6 +43,44 @@ def test_int8_conv_matches_fp_small_net():
     assert err.max() / np.abs(np.asarray(y, np.float32)).max() < 0.03
 
 
+def test_calibration_remat_free_twin_matches():
+    """Regression for the DHD-S-scale failure: amax recording leaks tracers
+    under nn.remat (UnexpectedTracerError), so calibration runs on a
+    remat-free twin — whose scales must equal the remat'd model's would-be
+    scales (remat is output-invariant), and quantize_fn itself must work
+    fine under remat."""
+    import pytest
+    from flax import linen as nn
+
+    class Block(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.relu(nn.Conv(8, (3, 3), padding=1, name="c")(x))
+
+    class Net(nn.Module):
+        remat: bool = False
+
+        @nn.compact
+        def __call__(self, x):
+            cls = nn.remat(Block) if self.remat else Block
+            x = cls(name="b1")(x)
+            return cls(name="b2")(x)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 3))
+    v = Net(remat=True).init(jax.random.PRNGKey(1), x)
+    fn_remat = lambda b: Net(remat=True).apply(v, b)      # noqa: E731
+    fn_plain = lambda b: Net(remat=False).apply(v, b)     # noqa: E731
+    with pytest.raises(Exception):
+        calibrate_int8(fn_remat, [x], prefixes=("b",))
+    scales = calibrate_int8(fn_plain, [x], prefixes=("b",))
+    assert set(scales) == {"b1/c", "b2/c"}
+    # the scales transfer: int8 serving of the REMAT'D model works and
+    # matches the remat-free int8 twin exactly
+    yq_r = jax.jit(quantize_fn(fn_remat, scales, ("b",)))(x)
+    yq_p = jax.jit(quantize_fn(fn_plain, scales, ("b",)))(x)
+    np.testing.assert_array_equal(np.asarray(yq_r), np.asarray(yq_p))
+
+
 # Full-model quantization tests below: ~90 s of init+compile on one CPU
 # core — slow lane (the fast-lane unit test above covers the quant math).
 

@@ -35,23 +35,30 @@ def main():
     ap.add_argument("--eval-batches", type=int, default=3)
     args = ap.parse_args()
 
+    import dataclasses
+
     from dhd_tpu.utils import enable_persistent_cache
     enable_persistent_cache()
-    cfg = get_config(args.preset)
+    # remat-free: calibration's amax recording leaks tracers under
+    # nn.remat (see calibrate_int8); remat is output-invariant
+    cfg = dataclasses.replace(get_config(args.preset), backbone_remat=False)
     model = build_model(cfg, dtype=jnp.bfloat16)
     batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
         cfg, 1, with_gt=False).items()}
     variables = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), batch, train=False))()
 
-    def infer(b):
+    # weights as JIT ARGUMENTS throughout: closed-over weights become
+    # compile-payload constants and exceed the device tunnel's
+    # remote-compile limit at DHD-S scale (HTTP 413)
+    def infer(variables, b):
         out = model.apply(variables, b, train=False)
         return jnp.argmax(out["occ_logits"], axis=-1).astype(jnp.uint8)
 
     calib = [{k: jnp.asarray(v) for k, v in synthetic_batch(
         cfg, 1, with_gt=False, seed=100 + i).items()}
         for i in range(args.calib_batches)]
-    scales = calibrate_int8(infer, calib, PREFIXES)
+    scales = calibrate_int8(infer, calib, PREFIXES, variables=variables)
     print(f"{args.preset}: calibrated {len(scales)} conv scales", flush=True)
     fp = jax.jit(infer)
     q = jax.jit(quantize_fn(infer, scales, PREFIXES))
@@ -60,8 +67,8 @@ def main():
     for i in range(args.eval_batches):          # held-out seeds
         b = {k: jnp.asarray(v) for k, v in synthetic_batch(
             cfg, 1, with_gt=False, seed=500 + i).items()}
-        a = np.asarray(fp(b))
-        c = np.asarray(q(b))
+        a = np.asarray(fp(variables, b))
+        c = np.asarray(q(variables, b))
         flips += int((a != c).sum())
         total += a.size
     print(f"{args.preset}: int8 argmax flip rate "
