@@ -28,8 +28,12 @@ def _print_profile(prof, module_substr, n_ops):
     if dev is not None:
         print(f"[profile] device time ({module_substr}): {dev:.2f} ms")
     print(f"[profile] top ops by device time:")
+    hlo = prof.get("op_hlo") or {}
     for name, ms, cnt in top_ops(prof, n_ops):
         print(f"  {ms:10.3f} ms  x{cnt:<5d} {name}")
+        if name in hlo:
+            # the HLO text (shapes/layouts/operands) attributes the op
+            print(f"        {hlo[name][:240]}")
 
 
 def chained_time(step, iters: int = 20, *args):
@@ -66,6 +70,16 @@ def main():
                    help="after timing, capture a jax.profiler device trace "
                         "and print per-module device ms + the top ops")
     p.add_argument("--profile-ops", type=int, default=25)
+    p.add_argument("--profile-detail", action="store_true",
+                   help="keep individual op identities in the profile "
+                        "(fusion.123 stays distinct) + print their "
+                        "source/metadata stats for attribution")
+    p.add_argument("--pool-plan", action="store_true",
+                   help="--what train only: ship a precomputed pooling "
+                        "plan with the batch (a pod loader's option), "
+                        "routing training through the fused Pallas pool "
+                        "kernel + its custom_vjp instead of XLA "
+                        "scatter/gather.  Single-frame presets only.")
     args = p.parse_args()
 
     import os
@@ -207,7 +221,7 @@ def main():
                 for _ in range(n_prof):
                     c, cache = step(c, sbatch, cache, variables)
                 _ = float(c)
-            _print_profile(trace_device(run), "step", args.profile_ops)
+            _print_profile(trace_device(run, collapse=not args.profile_detail), "step", args.profile_ops)
         return
 
     if args.what == "train":
@@ -219,6 +233,16 @@ def main():
         tbatch = {k: jnp.asarray(v)
                   for k, v in synthetic_batch(cfg, args.batch_size,
                                               with_gt=True).items()}
+        if args.pool_plan:
+            if cfg.temporal:
+                raise SystemExit("--pool-plan: single-frame presets only "
+                                 "(temporal training pools each frame "
+                                 "with its own geometry)")
+            from dhd_tpu.models.dhd import build_batch_pool_plan
+            tbatch["pool_plan"] = jax.jit(
+                lambda b: build_batch_pool_plan(cfg, b))(tbatch)
+            print("train batch ships a precomputed pool plan "
+                  "(fused-kernel path)")
         tx = make_optimizer(cfg.optim, steps_per_epoch=1000)
         state = create_train_state(model, cfg, jax.random.PRNGKey(0),
                                    tbatch, tx)
@@ -256,7 +280,7 @@ def main():
                     state, m = step_fn(state, tbatch,
                                        jax.random.fold_in(rng, 100 + i))
                 _ = float(m["loss_total"])
-            _print_profile(trace_device(run), "train_step",
+            _print_profile(trace_device(run, collapse=not args.profile_detail), "train_step",
                            args.profile_ops)
         return
 
@@ -385,6 +409,10 @@ def main():
         rng = np.random.default_rng(0)
         geom = {k: batch[k] for k in ("sensor2keyego", "intrins",
                                       "post_rots", "post_trans", "bda")}
+        if cfg.temporal:
+            # temporal batches carry a frames dim after B: pool the key frame
+            geom = {k: (v[:, 0] if k != "bda" else v)
+                    for k, v in geom.items()}
         coords = frustum_to_ego(
             create_frustum(vt.depth, vt.input_size, vt.downsample, vt.sid),
             geom["sensor2keyego"], geom["intrins"], geom["post_rots"],
@@ -460,7 +488,7 @@ def main():
                 for _ in range(n_prof):
                     c = step(c, batch, variables)
                 _ = float(c)
-            _print_profile(trace_device(run), "step", args.profile_ops)
+            _print_profile(trace_device(run, collapse=not args.profile_detail), "step", args.profile_ops)
         return
 
     # stages: time the full model and the model minus the view transform by

@@ -96,16 +96,26 @@ def occ_losses_fused(logits: jnp.ndarray, labels: jnp.ndarray,
 def occ_losses_fused_packed(flat_logits: jnp.ndarray, labels: jnp.ndarray,
                             mask: jnp.ndarray, class_weight: jnp.ndarray,
                             n_cls: int, free_class: int = 17):
-    """`occ_losses_fused` on *packed* (..., Dz*n_cls) logits.
+    """`occ_losses_fused` on *packed* (..., Dz*n_cls) logits, layout-true.
 
     Same math and results as :func:`occ_losses_fused` on the
-    (..., Dz, n_cls) view (parity-tested), but every elementwise pass runs
-    on the packed lane layout: a classes-minor fp32 tensor pads 18 lanes to
-    the 128-lane HBM tile — 7.1x the bytes on every read/write — and the
-    padded formulation measured 31.9 ms vs 14.5 ms for this one
-    (value+grad, B=4 DHD-S shapes).  The (..., Dz, n_cls) views below
-    exist only inside fusions (each feeds exactly one reduce), so the
-    padded layout never hits HBM.
+    (..., Dz, n_cls) view (parity-tested, fp-rounding-level differences
+    only), with two TPU layout rules enforced:
+
+    * every elementwise pass runs on the packed (V, Dz*n_cls) lane layout
+      — a classes-minor fp32 tensor pads 18 lanes to the 128-lane HBM
+      tile, 7.1x the bytes on every read/write (31.9 ms vs 14.5 ms
+      value+grad at B=4 DHD-S shapes);
+    * NO elementwise op ever runs on a (V, Dz, n_cls) view.  When the
+      round-5 formulation mixed 3-D elementwise ops with the packed
+      layout, XLA assigned f32[160000,16,18] a {0,2,1} layout and
+      materialized a ~1.6 ms physical relayout at every reshape boundary
+      (~15 ms/step of the DHD-S B=4 train step; remat doubled it).  Here
+      the 3-D view exists ONLY as the input of grouped reduces (a free
+      row-major bitcast), and per-group broadcasts go through a tiny
+      (Dz, Dz*n_cls) 0/1 matrix on the MXU (`@ expand` — 0.7 GFLOP at
+      DHD-S B=4, microseconds) so the result is BORN in the packed
+      layout instead of being relaid into it.
 
     Args:
       flat_logits: (..., Dz*n_cls) packed logits (OccHead return_flat).
@@ -113,28 +123,47 @@ def occ_losses_fused_packed(flat_logits: jnp.ndarray, labels: jnp.ndarray,
       n_cls: classes per z slot.
     Returns (loss_ce, loss_geo, loss_sem).
     """
-    dz = flat_logits.shape[-1] // n_cls
-    x = flat_logits.reshape(-1, dz, n_cls).astype(jnp.float32)
+    k = flat_logits.shape[-1]
+    dz = k // n_cls
+    x = flat_logits.reshape(-1, k).astype(jnp.float32)    # (V, Dz*n_cls)
     labels = labels.reshape(-1, dz).astype(jnp.int32)
     mask = mask.reshape(-1, dz).astype(jnp.float32)
 
+    # group-expand matrix: expand[z, z*n_cls + c] = 1.  (V, Dz) @ expand
+    # broadcasts a per-z value across its class lanes ON the MXU.
+    zid = jax.lax.iota(jnp.int32, k) // n_cls             # (k,)
+    cid = (jax.lax.iota(jnp.int32, k) % n_cls).astype(jnp.float32)
+    expand = (zid[None, :] == jax.lax.iota(jnp.int32, dz)[:, None]
+              ).astype(jnp.float32)                       # (Dz, k)
+
+    def gsum(t):                                          # (V, k) -> (V, Dz)
+        return jnp.sum(t.reshape(-1, dz, n_cls), axis=-1)
+
     # log-softmax over the class groups (jax.nn.log_softmax semantics:
     # stop-gradient max subtraction)
-    m = jax.lax.stop_gradient(jnp.max(x, axis=-1))
-    xm = x - m[..., None]
-    lse = jnp.log(jnp.sum(jnp.exp(xm), axis=-1))          # (V, Dz)
+    m = jax.lax.stop_gradient(
+        jnp.max(x.reshape(-1, dz, n_cls), axis=-1))       # (V, Dz)
+    xm = x - m @ expand
+    lse = jnp.log(gsum(jnp.exp(xm)))                      # (V, Dz)
 
-    oh = (labels[..., None] == jax.lax.iota(jnp.int32, n_cls)
-          ).astype(jnp.float32)                           # (V, Dz, n_cls)
-    logp_lab = jnp.sum(xm * oh, axis=-1) - lse            # (V, Dz)
-    w = jnp.sum(oh * class_weight, axis=-1) * mask
+    # packed one-hot: lane z*n_cls+c is 1 iff labels[v, z] == c (the
+    # label replicate rides the MXU; labels < 2^24 are exact in f32)
+    ohp = (labels.astype(jnp.float32) @ expand == cid[None, :]
+           ).astype(jnp.float32)                          # (V, k)
+    logp_lab = gsum(xm * ohp) - lse                       # (V, Dz)
+    cw_packed = class_weight[jax.lax.iota(jnp.int32, k) % n_cls]
+    w = gsum(ohp * cw_packed[None, :]) * mask             # (V, Dz)
     loss_ce = jnp.sum(-logp_lab * w) / jnp.maximum(jnp.sum(w), 1e-6)
 
-    probs = jnp.exp(xm - lse[..., None])
-    ohm = oh * mask[..., None]
-    sum_t = jnp.sum(ohm, axis=(0, 1))                     # (n_cls,)
-    sum_p = jnp.sum(probs * mask[..., None], axis=(0, 1))
-    inter = jnp.sum(probs * ohm, axis=(0, 1))
+    probs = jnp.exp(xm - lse @ expand)                    # (V, k)
+    mask_p = mask @ expand                                # (V, k)
+    pm = probs * mask_p
+    sum_t_k = jnp.sum(ohp * mask_p, axis=0)               # (k,)
+    sum_p_k = jnp.sum(pm, axis=0)
+    inter_k = jnp.sum(pm * ohp, axis=0)
+    sum_t = jnp.sum(sum_t_k.reshape(dz, n_cls), axis=0)   # (n_cls,)
+    sum_p = jnp.sum(sum_p_k.reshape(dz, n_cls), axis=0)
+    inter = jnp.sum(inter_k.reshape(dz, n_cls), axis=0)
     n_masked = jnp.sum(mask)
 
     g_inter = n_masked - sum_t[free_class] - sum_p[free_class] \

@@ -224,12 +224,32 @@ segment_sum_pooling.defvjp(_fwd, _bwd)
 # BEV pillar id (pillar = seg // Dz), so one sort and one chunk stream feed
 # two accumulators — the TPU counterpart of the reference's 4 bev_pool_v2
 # passes in MGHS.view_transform (lss_heightmap.py:407-459).
+#
+# v4: the per-point epilogue (depth-bin one-hot select, sign-gate decode,
+# |depth| x feat multiply, lane packing, padding) moved INSIDE the kernel.
+# As separate XLA ops these were five elementwise passes over the
+# visit-major (P, C) tensors — at DHD-L scale (P = 1.49M) ~2.2 GB of HBM
+# traffic and 7.6 ms of the streaming step (round-5 device trace; the ops
+# were broadcast_select/reduce/slice_multiply/pad_slice/pad_select over
+# bf16[1486848, 152]).  The kernel input is now the raw gathered
+# [feat row | sign-gated depth row] chunk and the epilogue runs on VMEM
+# tiles between the gather DMA and the one-hot matmul.
 # ---------------------------------------------------------------------------
 
 
-def _kernel_dual(cof_ref, bof_ref, first_ref, pad_ref, vals_ref, segv_ref,
-                 segb_ref, outv_ref, outb_ref, accv_ref, accb_ref, *,
-                 block_v: int, chunk_p: int, c: int, pack: int, dz: int):
+def _kernel_dual_fused(cof_ref, bof_ref, first_ref, pad_ref, gath_ref,
+                       bin_col_ref, segv_col_ref, segv_ref, segb_ref,
+                       outv_ref, outb_ref, accv_ref, accb_ref, *,
+                       block_v: int, chunk_p: int, c: int, c_in: int,
+                       d: int, pack: int, dz: int):
+    # Mosaic layout note: computed 1-D bool vectors and lane<->sublane
+    # relayouts of computed vectors do not lower ("Invalid relayout ...
+    # vector<256xi1>").  Everything per-point therefore stays in one of
+    # two proven orientations: lane-oriented (1, chunk_p) int vectors for
+    # the one-hot row compares (the pattern the non-fused kernel used),
+    # and sublane-oriented (chunk_p, 1) columns — fed as separate tiny
+    # inputs — for per-row masks; gating is float arithmetic (sign/max),
+    # never a bool select.
     v = pl.program_id(0)
     base = bof_ref[v] * block_v
     rows_v = block_v // pack
@@ -244,18 +264,54 @@ def _kernel_dual(cof_ref, bof_ref, first_ref, pad_ref, vals_ref, segv_ref,
 
     @pl.when(cof_ref[v] != pad_ref[0])
     def _():
-        vals = vals_ref[0]
-        # fine voxel pass (height-gating is pre-folded into segv as drops)
+        g = gath_ref[0]                                  # (chunk_p, c_in+d)
+        feat = g[:, :c_in]
+        dgg = g[:, c_in:c_in + d]
+        # the point's depth bin has exactly one one-hot match, so the
+        # masked lane-reduce is exact in any dtype / reduction order
+        bins = bin_col_ref[0]                            # (chunk_p, 1) int32
+        oh = (bins == jax.lax.broadcasted_iota(
+            jnp.int32, (chunk_p, d), 1)).astype(g.dtype)
+        dgg_s = jnp.sum(dgg * oh, axis=1, keepdims=True)   # (chunk_p, 1)
+        vals_c = jnp.abs(dgg_s) * feat                   # (chunk_p, c_in)
+        if pack == 2 and c == 2 * c_in:
+            # lane_pack2 in-kernel: odd pillars ride the upper half-row
+            # (float blend, not a bool select — see layout note above;
+            # per-half multiplies beat blending two full-width tensors)
+            oddf = jnp.bitwise_and(segv_col_ref[0], 1).astype(vals_c.dtype)
+            vals = jnp.concatenate(
+                [vals_c * (1.0 - oddf), vals_c * oddf], axis=1)
+        elif pack == 2:
+            lo = jnp.concatenate(
+                [vals_c, jnp.zeros((chunk_p, c - c_in), vals_c.dtype)],
+                axis=1)
+            hi = jnp.concatenate(
+                [jnp.zeros((chunk_p, c // 2), vals_c.dtype),
+                 lo[:, :c // 2]], axis=1)
+            oddf = jnp.bitwise_and(segv_col_ref[0], 1).astype(lo.dtype)
+            vals = hi * oddf + lo * (1.0 - oddf)
+        else:
+            vals = vals_c if c == c_in else jnp.concatenate(
+                [vals_c, jnp.zeros((chunk_p, c - c_in), vals_c.dtype)],
+                axis=1)
+        # sign decodes the height gate (voxel_pool.mghs_pool_pallas): a
+        # gated-off point keeps its BEV contribution but contributes an
+        # exact 0.0 to the fine-voxel accumulator (x + ±0.0 == x in fp,
+        # so this equals the id-reroute drop the XLA prepass used)
+        gate01 = jnp.maximum(jnp.sign(dgg_s.astype(jnp.float32)), 0.0
+                             ).astype(vals.dtype)
+        # fine voxel pass
         localv = segv_ref[0, 0, :] - base
         if pack == 2:
             localv = jax.lax.shift_right_arithmetic(localv, 1)
         rows = jax.lax.broadcasted_iota(jnp.int32, (rows_v, chunk_p), 0)
         onehot = (localv[None, :] == rows).astype(vals.dtype)
-        accv_ref[:] += jnp.dot(onehot, vals,
+        accv_ref[:] += jnp.dot(onehot, vals * gate01,
                                preferred_element_type=jnp.float32)
         outv_ref[:] = accv_ref[:].astype(outv_ref.dtype)
-        # BEV pass: pillar-id segments; pillar sums land split across the
-        # two packed lane halves and are folded by the caller
+        # BEV pass: pillar-id segments, UNGATED (|dgg| is the raw depth;
+        # reference BEV pools every point).  Pillar sums land split across
+        # the two packed lane halves and are folded by the caller.
         localb = segb_ref[0, 0, :] - base // dz
         rows_bi = jax.lax.broadcasted_iota(jnp.int32, (rows_b, chunk_p), 0)
         onehot_b = (localb[None, :] == rows_bi).astype(vals.dtype)
@@ -282,121 +338,148 @@ def dual_visit_tables(key_sorted: jnp.ndarray, num_vox: int,
     return vis_chunk, vis_block, vis_first
 
 
-def mghs_pool_sorted_dual(vals_sorted: jnp.ndarray, segv_sorted: jnp.ndarray,
-                          segb_sorted: jnp.ndarray, key_sorted: jnp.ndarray,
-                          num_vox: int, dz: int,
-                          interpret: bool = False,
-                          block_v: int = DEFAULT_BLOCK_V,
-                          chunk_p: int = DEFAULT_CHUNK_P,
-                          out_dtype=jnp.bfloat16,
-                          tables=None):
-    """Fused vox+bev pooling over points sorted by z-minor voxel key.
+def mghs_pool_sorted_dual_fused(gath: jnp.ndarray, bin_cols: jnp.ndarray,
+                                segv_cols: jnp.ndarray,
+                                segv_rows: jnp.ndarray,
+                                segb_rows: jnp.ndarray, tables,
+                                num_vox: int, dz: int, c_in: int,
+                                interpret: bool = False,
+                                block_v: int = DEFAULT_BLOCK_V,
+                                chunk_p: int = DEFAULT_CHUNK_P,
+                                out_dtype=jnp.bfloat16):
+    """Fused vox+bev pooling over gathered per-point rows.
 
-    Differentiable wrt ``vals_sorted`` via custom_vjp (the transpose of a
-    dual segment-sum is two gathers), so training with a precomputed
-    pooling plan works — e.g. a pod host loader shipping plans with each
-    batch.  pallas_call itself has no JVP rule; without the custom_vjp a
-    train step through this path dies in linearization (the cost-volume
-    kernel had exactly that bug).
+    The caller provides the raw row gather (one XLA gather from the small
+    per-pixel table — see voxel_pool.mghs_pool_pallas); the depth-bin
+    select, sign-gate decode, |depth| x feat multiply and lane packing all
+    run inside the kernel (v4 — no (P, C) intermediate ever hits HBM).
+
+    Differentiable wrt ``gath`` via custom_vjp (the transpose of the dual
+    segment-sum is two gathers, composed with the epilogue's product
+    rule), so training with a precomputed pooling plan works — e.g. a pod
+    host loader shipping plans with each batch.  pallas_call itself has no
+    JVP rule; without the custom_vjp a train step through this path dies
+    in linearization (the cost-volume kernel had exactly that bug).
 
     Args:
-      vals_sorted: (P, C) depth*feat products in sorted order.
-      segv_sorted: (P,) int32 fine-voxel ids (z-minor: pillar*dz + z), with
-        dropped/gated-off points >= the padded grid size.
-      segb_sorted: (P,) int32 BEV pillar ids (= valid segv // dz), dropped
-        points >= num_vox // dz padded size.
-      key_sorted: (P,) int32 the sort key (segv before gating; defines the
-        chunk->block ownership).
+      gath: (P_pad, c_in + D) rows [feat | sign-gated depth] in sorted
+        point order, already padded to a whole number of chunks PLUS one
+        trailing all-padding chunk (the no-op visit target).  Padding rows
+        may hold garbage — their segment ids drop them.
+      bin_cols: (n_chunks_t, chunk_p, 1) int32 depth-bin of each point
+        (sublane-oriented — see the kernel's Mosaic layout note).
+      segv_cols: (n_chunks_t, chunk_p, 1) int32 fine-voxel ids, same
+        orientation (feeds the in-kernel lane-pack parity).
+      segv_rows: (n_chunks_t, 1, chunk_p) int32 fine-voxel ids (z-minor),
+        dropped points >= v_pad; the in-kernel sign gate zeroes gated-off
+        points' fine-voxel contribution.
+      segb_rows: (n_chunks_t, 1, chunk_p) int32 BEV pillar ids (ungated),
+        dropped points >= num_vox // dz padded size.
+      tables: :func:`dual_visit_tables` output for the sort key (same
+        block_v/chunk_p).
       num_vox: fine grid size (B*Dy*Dx*Dz); must satisfy block_v % dz == 0.
-      tables: optional precomputed :func:`dual_visit_tables` output (must
-        have been built with the same block_v/chunk_p).
     Returns:
-      vox (num_vox, C), bev (num_vox // dz, C) in out_dtype.
+      vox (num_vox, c_in), bev (num_vox // dz, c_in) in out_dtype.
     """
-    if tables is None:
-        tables = dual_visit_tables(key_sorted, num_vox, block_v, chunk_p)
-    return _dual_vjp(vals_sorted, segv_sorted, segb_sorted, key_sorted,
-                     tuple(tables), num_vox, dz, interpret, block_v,
-                     chunk_p, out_dtype)
+    return _dual_fused_vjp(gath, bin_cols, segv_cols, segv_rows, segb_rows,
+                           tuple(tables), num_vox, dz, c_in, interpret,
+                           block_v, chunk_p, out_dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
-def _dual_vjp(vals_sorted, segv_sorted, segb_sorted, key_sorted, tables,
-              num_vox, dz, interpret, block_v, chunk_p, out_dtype):
-    return _dual_impl(vals_sorted, segv_sorted, segb_sorted, key_sorted,
-                      num_vox, dz, interpret, block_v, chunk_p, out_dtype,
-                      tables)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+def _dual_fused_vjp(gath, bin_cols, segv_cols, segv_rows, segb_rows,
+                    tables, num_vox, dz, c_in, interpret, block_v, chunk_p,
+                    out_dtype):
+    return _dual_fused_impl(gath, bin_cols, segv_cols, segv_rows,
+                            segb_rows, tables, num_vox, dz, c_in,
+                            interpret, block_v, chunk_p, out_dtype)
 
 
-def _dual_fwd(vals_sorted, segv_sorted, segb_sorted, key_sorted, tables,
-              num_vox, dz, interpret, block_v, chunk_p, out_dtype):
-    out = _dual_vjp(vals_sorted, segv_sorted, segb_sorted, key_sorted,
-                    tables, num_vox, dz, interpret, block_v, chunk_p,
-                    out_dtype)
-    return out, (segv_sorted, segb_sorted)
+def _dual_fused_fwd(gath, bin_cols, segv_cols, segv_rows, segb_rows,
+                    tables, num_vox, dz, c_in, interpret, block_v, chunk_p,
+                    out_dtype):
+    out = _dual_fused_vjp(gath, bin_cols, segv_cols, segv_rows, segb_rows,
+                          tables, num_vox, dz, c_in, interpret, block_v,
+                          chunk_p, out_dtype)
+    return out, (gath, bin_cols, segv_rows, segb_rows)
 
 
-def _dual_bwd(num_vox, dz, interpret, block_v, chunk_p, out_dtype, res, g):
-    segv, segb = res
+def _dual_fused_bwd(num_vox, dz, c_in, interpret, block_v, chunk_p,
+                    out_dtype, res, g):
+    """Product-rule backward of the fused epilogue + dual segment-sum.
+
+    Matches JAX's own grads of the former XLA prepass composition
+    (onehot-select -> abs -> multiply -> gated segment-sum), so training
+    through the plan path gives the XLA path's gradients
+    (tests/test_voxel_pool.py::test_mghs_pool_pallas_grads_match_xla).
+    """
+    gath, bin_cols, segv_rows, segb_rows = res
     g_vox, g_bev = g
+    p = gath.shape[0]
+    d = gath.shape[1] - c_in
     num_bev = num_vox // dz
+    bins = bin_cols.reshape(-1)[:p]
+    segb = segb_rows.reshape(-1)[:p]
+    feat = gath[:, :c_in]
+    oh = (bins[:, None] == jax.lax.iota(jnp.int32, d)[None, :]
+          ).astype(gath.dtype)
+    dgg_s = jnp.sum(gath[:, c_in:] * oh, axis=-1)
+    segv = jnp.where(dgg_s > 0, segv_rows.reshape(-1)[:p], num_vox)
     dvox = jnp.take(g_vox, jnp.clip(segv, 0, num_vox - 1), axis=0)
     dvox = jnp.where((segv < num_vox)[:, None], dvox, 0)
     dbev = jnp.take(g_bev, jnp.clip(segb, 0, num_bev - 1), axis=0)
     dbev = jnp.where((segb < num_bev)[:, None], dbev, 0)
-    return (dvox + dbev, None, None, None, None)
+    dvals = (dvox + dbev).astype(jnp.float32)            # d loss / d vals_c
+    a = jnp.abs(dgg_s).astype(jnp.float32)
+    d_feat = a[:, None] * dvals
+    d_dgg_s = jnp.sign(dgg_s).astype(jnp.float32) \
+        * jnp.sum(dvals * feat.astype(jnp.float32), axis=-1)
+    d_gath = jnp.concatenate(
+        [d_feat, d_dgg_s[:, None] * oh.astype(jnp.float32)], axis=-1)
+    return (d_gath.astype(gath.dtype), None, None, None, None, None)
 
 
-_dual_vjp.defvjp(_dual_fwd, _dual_bwd)
+_dual_fused_vjp.defvjp(_dual_fused_fwd, _dual_fused_bwd)
 
 
-def _dual_impl(vals_sorted, segv_sorted, segb_sorted, key_sorted,
-               num_vox: int, dz: int, interpret: bool, block_v: int,
-               chunk_p: int, out_dtype, tables):
-    p, c_in = vals_sorted.shape
+def _dual_fused_impl(gath, bin_cols, segv_cols, segv_rows, segb_rows,
+                     tables, num_vox: int, dz: int, c_in: int,
+                     interpret: bool, block_v: int, chunk_p: int,
+                     out_dtype):
+    p_pad, cd = gath.shape
+    d = cd - c_in
     c = max(128, ((c_in + 127) // 128) * 128)
     pack = 2 if c_in <= c // 2 and block_v % 2 == 0 else 1
     assert block_v % dz == 0, (block_v, dz)
+    assert p_pad % chunk_p == 0, (p_pad, chunk_p)
     v_pad = ((num_vox + block_v - 1) // block_v) * block_v
     n_blocks = v_pad // block_v
     num_bev = num_vox // dz
-    p_pad = ((p + chunk_p - 1) // chunk_p) * chunk_p
-    n_chunks = p_pad // chunk_p
-    p_pad += chunk_p
-    n_chunks_t = n_chunks + 1
+    n_chunks_t = p_pad // chunk_p
+    n_chunks = n_chunks_t - 1          # last chunk = the no-op visit target
+    assert bin_cols.shape == (n_chunks_t, chunk_p, 1), bin_cols.shape
 
-    vals_p = jnp.zeros((p_pad, c), vals_sorted.dtype
-                       ).at[:p, :c_in].set(vals_sorted)
-    key_col = jnp.full((p_pad,), v_pad, jnp.int32).at[:p].set(key_sorted)
-    segv_col = jnp.full((p_pad,), v_pad, jnp.int32).at[:p].set(segv_sorted)
-    segb_col = jnp.full((p_pad,), v_pad // dz, jnp.int32
-                        ).at[:p].set(segb_sorted)
-    if pack == 2:
-        vals_p = lane_pack2(vals_p, segv_col, c)
-    vals_p = vals_p.reshape(n_chunks_t, chunk_p, c)
-    segv_rows = segv_col.reshape(n_chunks_t, 1, chunk_p)
-    segb_rows = segb_col.reshape(n_chunks_t, 1, chunk_p)
-
-    if tables is not None:
-        vis_chunk, vis_block, vis_first = tables
-        s_static = vis_chunk.shape[0]
-        assert s_static == n_chunks + 2 * n_blocks, "tables built with " \
-            "different block_v/chunk_p"
-    else:
-        vis_chunk, vis_block, vis_first, s_static = _visit_tables(
-            key_col, n_chunks, chunk_p, n_blocks, block_v)
+    vis_chunk, vis_block, vis_first = tables
+    s_static = vis_chunk.shape[0]
+    assert s_static == n_chunks + 2 * n_blocks, "tables built with " \
+        "different block_v/chunk_p"
 
     rows_v = block_v // pack
     rows_b = block_v // dz
     pad_chunk = jnp.full((1,), n_chunks, jnp.int32)
     outv, outb = pl.pallas_call(
-        functools.partial(_kernel_dual, block_v=block_v, chunk_p=chunk_p,
-                          c=c, pack=pack, dz=dz),
+        functools.partial(_kernel_dual_fused, block_v=block_v,
+                          chunk_p=chunk_p, c=c, c_in=c_in, d=d, pack=pack,
+                          dz=dz),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(s_static,),
             in_specs=[
-                pl.BlockSpec((1, chunk_p, c),
+                pl.BlockSpec((1, chunk_p, cd),
+                             lambda v, cof, bof, ff, pc: (cof[v], 0, 0)),
+                pl.BlockSpec((1, chunk_p, 1),
+                             lambda v, cof, bof, ff, pc: (cof[v], 0, 0)),
+                pl.BlockSpec((1, chunk_p, 1),
                              lambda v, cof, bof, ff, pc: (cof[v], 0, 0)),
                 pl.BlockSpec((1, 1, chunk_p),
                              lambda v, cof, bof, ff, pc: (cof[v], 0, 0)),
@@ -419,8 +502,9 @@ def _dual_impl(vals_sorted, segv_sorted, segb_sorted, key_sorted,
             jax.ShapeDtypeStruct((v_pad // dz, c), out_dtype),
         ),
         interpret=interpret,
-    )(vis_chunk, vis_block, vis_first, pad_chunk, vals_p, segv_rows,
-      segb_rows)
+    )(vis_chunk, vis_block, vis_first, pad_chunk,
+      gath.reshape(n_chunks_t, chunk_p, cd), bin_cols, segv_cols,
+      segv_rows, segb_rows)
     if pack == 2:
         vox = outv.reshape(v_pad, c // 2)[:num_vox, :c_in]
         # a pillar's sum is split across the two packed lane halves

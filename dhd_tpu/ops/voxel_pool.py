@@ -198,7 +198,8 @@ def build_pool_plan(idx: PoolIndices, vt: ViewTransformConfig,
     Args:
       cams_shape: (B, N, D, fH, fW) of the depth tensor.
     """
-    from dhd_tpu.ops.pallas_pool import dual_visit_tables
+    from dhd_tpu.ops.pallas_pool import (DEFAULT_BLOCK_V, DEFAULT_CHUNK_P,
+                                         dual_visit_tables)
 
     b, n, d, fh, fw = cams_shape
     dz = vt.z_fine.size
@@ -214,15 +215,36 @@ def build_pool_plan(idx: PoolIndices, vt: ViewTransformConfig,
     # the same point's id in *pixel-major* (B,N,fH,fW,D) flattening — the
     # layout the per-frame row gather reads (see mghs_pool_pallas)
     bin_s = (order // (fh * fw)) % d
+    segv_s = jnp.take(idx.seg_vox, order)
+    segb_s = jnp.where(key_s < num_vox, key_s // dz, idx.num_seg_bev)
+    # chunk-padded copies for the fused kernel (v4): one whole-chunk
+    # round-up plus one trailing all-padding chunk (the no-op visit
+    # target).  Padding rows gather pixel 0 (garbage values); their
+    # out-of-range segment ids drop them inside the kernel.
+    chunk_p, block_v = DEFAULT_CHUNK_P, DEFAULT_BLOCK_V
+    p_pad = ((p + chunk_p - 1) // chunk_p) * chunk_p + chunk_p
+    v_pad = ((num_vox + block_v - 1) // block_v) * block_v
+    nct = p_pad // chunk_p
     return {
         "order": order,
         "key_s": key_s,
-        "segv_s": jnp.take(idx.seg_vox, order),
-        "segb_s": jnp.where(key_s < num_vox, key_s // dz,
-                            idx.num_seg_bev),
+        "segv_s": segv_s,
+        "segb_s": segb_s,
         "band_s": jnp.take(idx.band, order),
         "pixel_s": pixel_s,
         "bin_s": bin_s,
+        "pixel_pad": jnp.zeros((p_pad,), jnp.int32).at[:p].set(pixel_s),
+        # both orientations precomputed: the sublane-oriented *_cols feed
+        # the kernel's per-row masks, and reshaping rows->cols per FRAME
+        # measured 1.2 ms each at DHD-L scale (sublane relayout of s32)
+        "bin_cols": jnp.zeros((p_pad,), jnp.int32).at[:p].set(bin_s)
+        .reshape(nct, chunk_p, 1),
+        "segv_rows": jnp.full((p_pad,), v_pad, jnp.int32).at[:p].set(segv_s)
+        .reshape(nct, 1, chunk_p),
+        "segv_cols": jnp.full((p_pad,), v_pad, jnp.int32).at[:p].set(segv_s)
+        .reshape(nct, chunk_p, 1),
+        "segb_rows": jnp.full((p_pad,), v_pad // dz, jnp.int32)
+        .at[:p].set(segb_s).reshape(nct, 1, chunk_p),
         "band_grid": jnp.transpose(
             idx.band.reshape(b, n, d, fh, fw), (0, 1, 3, 4, 2)),
         "tables": dual_visit_tables(key_s, num_vox),
@@ -258,7 +280,7 @@ def mghs_pool_pallas(depth: jnp.ndarray, feat: jnp.ndarray,
     Returns:
       bev: (B, Dy, Dx, C); vox: (B, Dy, Dx, Dz, C) in feat.dtype.
     """
-    from dhd_tpu.ops.pallas_pool import mghs_pool_sorted_dual
+    from dhd_tpu.ops.pallas_pool import mghs_pool_sorted_dual_fused
 
     b, n, fh, fw, d = depth.shape
     c = feat.shape[-1]
@@ -273,17 +295,19 @@ def mghs_pool_pallas(depth: jnp.ndarray, feat: jnp.ndarray,
     # per-point SCALAR gather of the gated depth measured 10.6 ms at DHD-L
     # scale (P=1.49M; ~150M elem/s is the TPU scalar-gather floor), and
     # pre-expanded (P, C+1) depth*feat rows from a P-row table 15.8 ms.
-    # Gathering [feat row | gated-depth row] in one pass from the SMALL
-    # per-pixel table (B*N*fH*fW = 17k rows, C+D lanes) and selecting the
-    # point's depth bin with a one-hot on lanes (exactly one nonzero, so
-    # the select is exact) costs one 2.6-ms-class row gather + a fused VPU
-    # reduce.  The height gate rides in the depth's SIGN (sign = gate,
+    # We gather [feat row | gated-depth row] in one pass from the SMALL
+    # per-pixel table (B*N*fH*fW = 17k rows, C+D lanes); the depth-bin
+    # one-hot select (exactly one nonzero, so it is exact), the gate
+    # decode, the |depth| x feat multiply and the lane packing all run
+    # INSIDE the kernel (pallas_pool v4) — as XLA ops they were five more
+    # elementwise passes over (P, C)-class tensors, 7.6 ms at DHD-L.
+    # The height gate rides in the depth's SIGN (sign = gate,
     # |.| = depth): band_mask is {0,1} (argmax bands), softmax depth is
     # >= 0, and a gated-off point whose bf16-cast depth underflowed to +0
     # contributes exactly 0 either way, so dropping it keeps bit-exactness
     # (bf16 shares f32's exponent range — only f32 values < 2^-133 round
     # to zero — and bf16(|x|) == |bf16(x)|, so casting the table to the
-    # feature dtype BEFORE the gather leaves vals_s bit-identical).
+    # feature dtype BEFORE the gather leaves the products bit-identical).
     dt = feat.dtype
     bg = plan["band_grid"]                        # (B,N,fH,fW,D) int32
     gate = ((bg == 0) * band_mask[..., 0:1]
@@ -293,16 +317,17 @@ def mghs_pool_pallas(depth: jnp.ndarray, feat: jnp.ndarray,
     dgg = jnp.where(gate > 0, dep, -dep)          # (B,N,fH,fW,D) f32
     table = jnp.concatenate(
         [feat.reshape(-1, c), dgg.astype(dt).reshape(-1, d)], axis=-1)
-    gath = jnp.take(table, plan["pixel_s"], axis=0)      # (P, C+D)
-    onehot = (plan["bin_s"][:, None]
-              == jax.lax.iota(jnp.int32, d)[None, :]).astype(dt)
-    dgg_s = jnp.sum(gath[:, c:] * onehot, axis=-1)       # (P,) dt
-    vals_s = jnp.abs(dgg_s)[:, None] * gath[:, :c]
-    segv_gated = jnp.where(dgg_s > 0, plan["segv_s"], num_vox)
+    # mode='clip': the plan's pixel ids are in [0, B*N*fH*fW) by
+    # construction, so clamping is a no-op on the (P,) index vector; the
+    # default 'fill' mode instead adds a full select pass over the
+    # gathered (P, C+D) tensor (2.3 ms at DHD-L scale)
+    gath = jnp.take(table, plan["pixel_pad"], axis=0,
+                    mode="clip")                         # (P_pad, C+D)
 
-    vox, bev = mghs_pool_sorted_dual(
-        vals_s, segv_gated, plan["segb_s"], plan["key_s"], num_vox, dz,
-        interpret=interpret, out_dtype=feat.dtype, tables=plan["tables"])
+    vox, bev = mghs_pool_sorted_dual_fused(
+        gath, plan["bin_cols"], plan["segv_cols"], plan["segv_rows"],
+        plan["segb_rows"], plan["tables"], num_vox, dz, c,
+        interpret=interpret, out_dtype=feat.dtype)
     return (bev.reshape(b, dy, dx, c),
             vox.reshape(b, dy, dx, dz, c))
 

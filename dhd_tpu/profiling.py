@@ -24,8 +24,8 @@ import jax
 _OP_RE = re.compile(r"^%([\w.\-]+)")
 
 
-def trace_device(run: Callable[[], None], trace_dir: Optional[str] = None
-                 ) -> Dict:
+def trace_device(run: Callable[[], None], trace_dir: Optional[str] = None,
+                 collapse: bool = True) -> Dict:
     """Run ``run()`` under a profiler trace and aggregate device activity.
 
     Returns a dict:
@@ -34,6 +34,11 @@ def trace_device(run: Callable[[], None], trace_dir: Optional[str] = None
       ops: {op_short_name: total_ms} summed over the whole trace
         ("XLA Ops" line; async ops are counted on their sync line only).
       op_events: {op_short_name: count}.
+      op_hlo: {op_short_name: full HLO event name} — only when
+        ``collapse=False`` (keeps per-op identity: fusion.123 stays
+        distinct; the HLO text carries shapes/layouts/operand names,
+        which attribute the fused op back to model code — parameter
+        names survive as e.g. %variables__params____img_encoder__...).
     """
     if trace_dir is None:
         tmp = tempfile.mkdtemp(prefix="dhd_trace_")
@@ -51,6 +56,7 @@ def trace_device(run: Callable[[], None], trace_dir: Optional[str] = None
     modules: Dict[str, list] = defaultdict(list)
     ops: Dict[str, float] = defaultdict(float)
     op_events: Dict[str, int] = defaultdict(int)
+    op_hlo: Dict[str, str] = {}
     for plane in pd.planes:
         if "/device:TPU" not in plane.name:
             continue
@@ -67,12 +73,16 @@ def trace_device(run: Callable[[], None], trace_dir: Optional[str] = None
                 for e in line.events:
                     m = _OP_RE.match(e.name)
                     key = m.group(1) if m else e.name[:40]
-                    # collapse SSA numbering: fusion.123 -> fusion
-                    key = re.sub(r"\.\d+$", "", key)
+                    if collapse:
+                        # collapse SSA numbering: fusion.123 -> fusion
+                        key = re.sub(r"\.\d+$", "", key)
+                    elif key not in op_hlo:
+                        op_hlo[key] = e.name
                     ops[key] += e.duration_ns / 1e6
                     op_events[key] += 1
     return {"modules": dict(modules), "ops": dict(ops),
-            "op_events": dict(op_events), "trace_dir": tmp}
+            "op_events": dict(op_events), "op_hlo": op_hlo,
+            "trace_dir": tmp}
 
 
 def module_ms(prof: Dict, name_substr: str, drop_first: int = 0

@@ -46,10 +46,14 @@ def total_loss(cfg: ModelConfig, out: Dict[str, jnp.ndarray],
         vt.D, vt.height_min, vt.height_interval, vt.num_height_bins)
 
     losses = {}
-    losses["loss_height"] = lc.loss_height_weight * bce_distribution_loss(
+    # checkpoint: recompute the clamped-log BCE terms in the backward
+    # instead of saving their f32 (B,N,fH,fW,K) residuals (K=88 for the
+    # stereo presets' depth flavour — ~60 MB each at B=4)
+    bce = jax.checkpoint(bce_distribution_loss)
+    losses["loss_height"] = lc.loss_height_weight * bce(
         out["height"], h_labels, fg)
     if cfg.depth_net == "full":
-        losses["loss_depth"] = lc.loss_depth_weight * bce_distribution_loss(
+        losses["loss_depth"] = lc.loss_depth_weight * bce(
             out["depth"], d_labels, fg)
 
     sem = batch["voxel_semantics"]
@@ -58,7 +62,11 @@ def total_loss(cfg: ModelConfig, out: Dict[str, jnp.ndarray],
     # one softmax pass serves all three losses (equal to the separate
     # occ_ce/sem_scal/geo_scal calls — tests/test_losses.py); prefer the
     # packed (..., Dz*n_cls) logits — the classes-minor view pads 18 lanes
-    # to the 128-lane HBM tile, 7.1x the loss traffic (occ_loss.py)
+    # to the 128-lane HBM tile, 7.1x the loss traffic, and the packed
+    # variant keeps every elementwise pass in the (V, Dz*n_cls) layout
+    # (the (V, Dz, n_cls) formulation made XLA materialize ~15 ms/step of
+    # f32[160000,16,18] relayouts in the DHD-S B=4 train step; remat only
+    # duplicated them — occ_loss.py documents the layout-true rewrite)
     if "occ_logits_flat" in out:
         l_ce, l_geo, l_sem = occ_losses_fused_packed(
             out["occ_logits_flat"], sem, mask, cw, lc.num_classes,
