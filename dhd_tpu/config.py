@@ -211,6 +211,11 @@ class ModelConfig:
     # kernel on TPU (ops/window_attention.py), XLA einsum elsewhere and
     # for training; 'xla' / 'pallas' force one
     attn_method: str = "auto"
+    # Swin LayerNorm backend for inference: 'auto' = one-pass fused Pallas
+    # kernel on TPU (ops/layer_norm.py; XLA's stats+apply two-fusion
+    # lowering measured ~15x off the HBM roofline at DHD-L stage-2
+    # shapes), flax LN elsewhere and for training; 'xla' / 'pallas' force
+    ln_method: str = "auto"
 
     @property
     def num_frames(self) -> int:

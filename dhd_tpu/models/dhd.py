@@ -96,6 +96,9 @@ class ImageEncoder(nn.Module):
                 attn_kernel=cfg.attn_method == "pallas" or (
                     cfg.attn_method == "auto"
                     and jax.default_backend() == "tpu"),
+                ln_kernel=cfg.ln_method == "pallas" or (
+                    cfg.ln_method == "auto"
+                    and jax.default_backend() == "tpu"),
                 dtype=self.dtype, name="backbone")(
                 imgs, train, stage0_only=stage0_only)
         else:

@@ -63,6 +63,35 @@ def _shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+class FusedLayerNorm(nn.Module):
+    """``nn.LayerNorm`` drop-in: same 'scale'/'bias' param names and
+    flax-default numerics (f32 fast-variance stats, eps under the rsqrt,
+    rsqrt*scale then multiply), with a one-pass Pallas kernel for TPU
+    inference (ops/layer_norm.py — XLA's two-fusion LN lowering measured
+    ~15x off the HBM roofline at DHD-L stage-2 shapes).  ``use_kernel``
+    is resolved by the caller (TPU + inference only, like the fused
+    window attention)."""
+    use_kernel: bool = False
+    dtype: Dtype = jnp.float32
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.use_kernel and c % 128 == 0:
+            from dhd_tpu.ops.layer_norm import fused_layer_norm
+            return fused_layer_norm(x, scale, bias,
+                                    eps=self.epsilon).astype(self.dtype)
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu, 0.0)
+        y = (xf - mu) * (jax.lax.rsqrt(var + self.epsilon) * scale) + bias
+        return y.astype(self.dtype)
+
+
 class DropPath(nn.Module):
     rate: float
 
@@ -138,6 +167,7 @@ class SwinBlock(nn.Module):
     drop_path: float
     mlp_ratio: int = 4
     attn_kernel: bool = False
+    ln_kernel: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -145,8 +175,10 @@ class SwinBlock(nn.Module):
         h, w = hw
         b, l, c = x.shape
         ws = self.window_size
+        lnk = self.ln_kernel and not train
         shortcut = x
-        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y = FusedLayerNorm(use_kernel=lnk, dtype=self.dtype,
+                           name="norm1")(x)
         y = y.reshape(b, h, w, c)
         pad_b = (ws - h % ws) % ws
         pad_r = (ws - w % ws) % ws
@@ -174,7 +206,8 @@ class SwinBlock(nn.Module):
         y = y[:, :h, :w].reshape(b, l, c)
         x = shortcut + DropPath(self.drop_path, name="dp1")(y, train)
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = FusedLayerNorm(use_kernel=lnk, dtype=self.dtype,
+                           name="norm2")(x)
         y = nn.Dense(c * self.mlp_ratio, dtype=self.dtype, name="fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(c, dtype=self.dtype, name="fc2")(y)
@@ -185,6 +218,7 @@ class PatchMerging(nn.Module):
     """Unfold-ordered 2x2 merge: channel layout [c, ky, kx] = c*4 + ky*2 + kx
     (swin.py:216-241), LN then Linear(4C -> 2C, no bias)."""
     out_dim: int
+    ln_kernel: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -198,7 +232,8 @@ class PatchMerging(nn.Module):
         x = x.reshape(b, h2, 2, w2, 2, c)
         x = jnp.transpose(x, (0, 1, 3, 5, 2, 4))       # (B, h2, w2, C, 2, 2)
         x = x.reshape(b, h2 * w2, 4 * c)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = FusedLayerNorm(use_kernel=self.ln_kernel, dtype=self.dtype,
+                           name="norm")(x)
         x = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
                      name="reduction")(x)
         return x, (h2, w2)
@@ -219,16 +254,20 @@ class SwinTransformer(nn.Module):
     remat: bool = False
     # fused Pallas window attention for inference (config.attn_method)
     attn_kernel: bool = False
+    # fused one-pass Pallas LayerNorm for inference (config.ln_method)
+    ln_kernel: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, stage0_only: bool = False):
         b = x.shape[0]
+        lnk = self.ln_kernel and not train
         x = nn.Conv(self.embed_dims, (4, 4), strides=4, dtype=self.dtype,
                     name="patch_embed")(x)
         hw = x.shape[1:3]
         x = x.reshape(b, hw[0] * hw[1], self.embed_dims)
-        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+        x = FusedLayerNorm(use_kernel=lnk, dtype=self.dtype,
+                           name="patch_norm")(x)
 
         total = sum(self.depths)
         dpr = [self.drop_path_rate * i / max(total - 1, 1)
@@ -243,12 +282,14 @@ class SwinTransformer(nn.Module):
                 x = block_cls(dim, self.num_heads[i], self.window_size,
                               shift=(d % 2 == 1), drop_path=dpr[blk_id],
                               attn_kernel=self.attn_kernel,
+                              ln_kernel=self.ln_kernel,
                               dtype=self.dtype,
                               name=f"stage{i}_block{d}")(x, hw, train)
                 blk_id += 1
             out, out_hw = x, hw
             if i < len(self.depths) - 1:
-                x, hw = PatchMerging(dim * 2, dtype=self.dtype,
+                x, hw = PatchMerging(dim * 2, ln_kernel=lnk,
+                                     dtype=self.dtype,
                                      name=f"downsample{i}")(x, hw)
                 dim *= 2
             if i == 0 and (self.return_stereo_feat or stage0_only):
@@ -257,6 +298,7 @@ class SwinTransformer(nn.Module):
                     return feat
                 outs.append(feat)
             if i in self.out_indices:
-                y = nn.LayerNorm(dtype=self.dtype, name=f"norm{i}")(out)
+                y = FusedLayerNorm(use_kernel=lnk, dtype=self.dtype,
+                                   name=f"norm{i}")(out)
                 outs.append(y.reshape(b, *out_hw, y.shape[-1]))
         return outs

@@ -238,18 +238,20 @@ segment_sum_pooling.defvjp(_fwd, _bwd)
 
 
 def _kernel_dual_fused(cof_ref, bof_ref, first_ref, pad_ref, gath_ref,
-                       bin_col_ref, segv_col_ref, segv_ref, segb_ref,
+                       bin_ref, segv_ref, segb_ref,
                        outv_ref, outb_ref, accv_ref, accb_ref, *,
                        block_v: int, chunk_p: int, c: int, c_in: int,
                        d: int, pack: int, dz: int):
-    # Mosaic layout note: computed 1-D bool vectors and lane<->sublane
-    # relayouts of computed vectors do not lower ("Invalid relayout ...
-    # vector<256xi1>").  Everything per-point therefore stays in one of
-    # two proven orientations: lane-oriented (1, chunk_p) int vectors for
-    # the one-hot row compares (the pattern the non-fused kernel used),
-    # and sublane-oriented (chunk_p, 1) columns — fed as separate tiny
-    # inputs — for per-row masks; gating is float arithmetic (sign/max),
-    # never a bool select.
+    # Mosaic layout note: computed 1-D bool vectors do not lower ("Invalid
+    # relayout ... vector<256xi1>"), but a lane->sublane transpose of a
+    # LOADED s32 (1, chunk_p) row does.  All per-point tables therefore
+    # arrive lane-oriented as (1, chunk_p) rows — the layout XLA gives
+    # s32[nct, 1, chunk_p] jit arguments for free (the earlier
+    # column-shaped (nct, chunk_p, 1) inputs were relaid out
+    # {1,2,0:T(1,128)} -> {2,1,0:T(8,128)} by a 1.2 ms copy EACH per step
+    # at DHD-L scale) — and per-row (chunk_p, 1) masks are produced by an
+    # in-kernel transpose of the loaded row.  Gating is float arithmetic
+    # (sign/max), never a bool select.
     v = pl.program_id(0)
     base = bof_ref[v] * block_v
     rows_v = block_v // pack
@@ -269,7 +271,7 @@ def _kernel_dual_fused(cof_ref, bof_ref, first_ref, pad_ref, gath_ref,
         dgg = g[:, c_in:c_in + d]
         # the point's depth bin has exactly one one-hot match, so the
         # masked lane-reduce is exact in any dtype / reduction order
-        bins = bin_col_ref[0]                            # (chunk_p, 1) int32
+        bins = jnp.transpose(bin_ref[0], (1, 0))         # (chunk_p, 1) int32
         oh = (bins == jax.lax.broadcasted_iota(
             jnp.int32, (chunk_p, d), 1)).astype(g.dtype)
         dgg_s = jnp.sum(dgg * oh, axis=1, keepdims=True)   # (chunk_p, 1)
@@ -278,7 +280,8 @@ def _kernel_dual_fused(cof_ref, bof_ref, first_ref, pad_ref, gath_ref,
             # lane_pack2 in-kernel: odd pillars ride the upper half-row
             # (float blend, not a bool select — see layout note above;
             # per-half multiplies beat blending two full-width tensors)
-            oddf = jnp.bitwise_and(segv_col_ref[0], 1).astype(vals_c.dtype)
+            oddf = jnp.bitwise_and(
+                jnp.transpose(segv_ref[0], (1, 0)), 1).astype(vals_c.dtype)
             vals = jnp.concatenate(
                 [vals_c * (1.0 - oddf), vals_c * oddf], axis=1)
         elif pack == 2:
@@ -288,7 +291,8 @@ def _kernel_dual_fused(cof_ref, bof_ref, first_ref, pad_ref, gath_ref,
             hi = jnp.concatenate(
                 [jnp.zeros((chunk_p, c // 2), vals_c.dtype),
                  lo[:, :c // 2]], axis=1)
-            oddf = jnp.bitwise_and(segv_col_ref[0], 1).astype(lo.dtype)
+            oddf = jnp.bitwise_and(
+                jnp.transpose(segv_ref[0], (1, 0)), 1).astype(lo.dtype)
             vals = hi * oddf + lo * (1.0 - oddf)
         else:
             vals = vals_c if c == c_in else jnp.concatenate(
@@ -338,8 +342,7 @@ def dual_visit_tables(key_sorted: jnp.ndarray, num_vox: int,
     return vis_chunk, vis_block, vis_first
 
 
-def mghs_pool_sorted_dual_fused(gath: jnp.ndarray, bin_cols: jnp.ndarray,
-                                segv_cols: jnp.ndarray,
+def mghs_pool_sorted_dual_fused(gath: jnp.ndarray, bin_rows: jnp.ndarray,
                                 segv_rows: jnp.ndarray,
                                 segb_rows: jnp.ndarray, tables,
                                 num_vox: int, dz: int, c_in: int,
@@ -366,10 +369,10 @@ def mghs_pool_sorted_dual_fused(gath: jnp.ndarray, bin_cols: jnp.ndarray,
         point order, already padded to a whole number of chunks PLUS one
         trailing all-padding chunk (the no-op visit target).  Padding rows
         may hold garbage — their segment ids drop them.
-      bin_cols: (n_chunks_t, chunk_p, 1) int32 depth-bin of each point
-        (sublane-oriented — see the kernel's Mosaic layout note).
-      segv_cols: (n_chunks_t, chunk_p, 1) int32 fine-voxel ids, same
-        orientation (feeds the in-kernel lane-pack parity).
+      bin_rows: (n_chunks_t, 1, chunk_p) int32 depth-bin of each point
+        (lane-oriented like every other table — the kernel transposes
+        loaded rows in-VMEM; column-shaped s32[..., chunk_p, 1] inputs
+        cost a 1.2 ms relayout copy per step at DHD-L scale).
       segv_rows: (n_chunks_t, 1, chunk_p) int32 fine-voxel ids (z-minor),
         dropped points >= v_pad; the in-kernel sign gate zeroes gated-off
         points' fine-voxel contribution.
@@ -381,27 +384,27 @@ def mghs_pool_sorted_dual_fused(gath: jnp.ndarray, bin_cols: jnp.ndarray,
     Returns:
       vox (num_vox, c_in), bev (num_vox // dz, c_in) in out_dtype.
     """
-    return _dual_fused_vjp(gath, bin_cols, segv_cols, segv_rows, segb_rows,
+    return _dual_fused_vjp(gath, bin_rows, segv_rows, segb_rows,
                            tuple(tables), num_vox, dz, c_in, interpret,
                            block_v, chunk_p, out_dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
-def _dual_fused_vjp(gath, bin_cols, segv_cols, segv_rows, segb_rows,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _dual_fused_vjp(gath, bin_rows, segv_rows, segb_rows,
                     tables, num_vox, dz, c_in, interpret, block_v, chunk_p,
                     out_dtype):
-    return _dual_fused_impl(gath, bin_cols, segv_cols, segv_rows,
+    return _dual_fused_impl(gath, bin_rows, segv_rows,
                             segb_rows, tables, num_vox, dz, c_in,
                             interpret, block_v, chunk_p, out_dtype)
 
 
-def _dual_fused_fwd(gath, bin_cols, segv_cols, segv_rows, segb_rows,
+def _dual_fused_fwd(gath, bin_rows, segv_rows, segb_rows,
                     tables, num_vox, dz, c_in, interpret, block_v, chunk_p,
                     out_dtype):
-    out = _dual_fused_vjp(gath, bin_cols, segv_cols, segv_rows, segb_rows,
+    out = _dual_fused_vjp(gath, bin_rows, segv_rows, segb_rows,
                           tables, num_vox, dz, c_in, interpret, block_v,
                           chunk_p, out_dtype)
-    return out, (gath, bin_cols, segv_rows, segb_rows)
+    return out, (gath, bin_rows, segv_rows, segb_rows)
 
 
 def _dual_fused_bwd(num_vox, dz, c_in, interpret, block_v, chunk_p,
@@ -413,12 +416,12 @@ def _dual_fused_bwd(num_vox, dz, c_in, interpret, block_v, chunk_p,
     through the plan path gives the XLA path's gradients
     (tests/test_voxel_pool.py::test_mghs_pool_pallas_grads_match_xla).
     """
-    gath, bin_cols, segv_rows, segb_rows = res
+    gath, bin_rows, segv_rows, segb_rows = res
     g_vox, g_bev = g
     p = gath.shape[0]
     d = gath.shape[1] - c_in
     num_bev = num_vox // dz
-    bins = bin_cols.reshape(-1)[:p]
+    bins = bin_rows.reshape(-1)[:p]
     segb = segb_rows.reshape(-1)[:p]
     feat = gath[:, :c_in]
     oh = (bins[:, None] == jax.lax.iota(jnp.int32, d)[None, :]
@@ -436,13 +439,13 @@ def _dual_fused_bwd(num_vox, dz, c_in, interpret, block_v, chunk_p,
         * jnp.sum(dvals * feat.astype(jnp.float32), axis=-1)
     d_gath = jnp.concatenate(
         [d_feat, d_dgg_s[:, None] * oh.astype(jnp.float32)], axis=-1)
-    return (d_gath.astype(gath.dtype), None, None, None, None, None)
+    return (d_gath.astype(gath.dtype), None, None, None, None)
 
 
 _dual_fused_vjp.defvjp(_dual_fused_fwd, _dual_fused_bwd)
 
 
-def _dual_fused_impl(gath, bin_cols, segv_cols, segv_rows, segb_rows,
+def _dual_fused_impl(gath, bin_rows, segv_rows, segb_rows,
                      tables, num_vox: int, dz: int, c_in: int,
                      interpret: bool, block_v: int, chunk_p: int,
                      out_dtype):
@@ -457,7 +460,7 @@ def _dual_fused_impl(gath, bin_cols, segv_cols, segv_rows, segb_rows,
     num_bev = num_vox // dz
     n_chunks_t = p_pad // chunk_p
     n_chunks = n_chunks_t - 1          # last chunk = the no-op visit target
-    assert bin_cols.shape == (n_chunks_t, chunk_p, 1), bin_cols.shape
+    assert bin_rows.shape == (n_chunks_t, 1, chunk_p), bin_rows.shape
 
     vis_chunk, vis_block, vis_first = tables
     s_static = vis_chunk.shape[0]
@@ -477,9 +480,7 @@ def _dual_fused_impl(gath, bin_cols, segv_cols, segv_rows, segb_rows,
             in_specs=[
                 pl.BlockSpec((1, chunk_p, cd),
                              lambda v, cof, bof, ff, pc: (cof[v], 0, 0)),
-                pl.BlockSpec((1, chunk_p, 1),
-                             lambda v, cof, bof, ff, pc: (cof[v], 0, 0)),
-                pl.BlockSpec((1, chunk_p, 1),
+                pl.BlockSpec((1, 1, chunk_p),
                              lambda v, cof, bof, ff, pc: (cof[v], 0, 0)),
                 pl.BlockSpec((1, 1, chunk_p),
                              lambda v, cof, bof, ff, pc: (cof[v], 0, 0)),
@@ -503,7 +504,7 @@ def _dual_fused_impl(gath, bin_cols, segv_cols, segv_rows, segb_rows,
         ),
         interpret=interpret,
     )(vis_chunk, vis_block, vis_first, pad_chunk,
-      gath.reshape(n_chunks_t, chunk_p, cd), bin_cols, segv_cols,
+      gath.reshape(n_chunks_t, chunk_p, cd), bin_rows,
       segv_rows, segb_rows)
     if pack == 2:
         vox = outv.reshape(v_pad, c // 2)[:num_vox, :c_in]

@@ -234,15 +234,15 @@ def build_pool_plan(idx: PoolIndices, vt: ViewTransformConfig,
         "pixel_s": pixel_s,
         "bin_s": bin_s,
         "pixel_pad": jnp.zeros((p_pad,), jnp.int32).at[:p].set(pixel_s),
-        # both orientations precomputed: the sublane-oriented *_cols feed
-        # the kernel's per-row masks, and reshaping rows->cols per FRAME
-        # measured 1.2 ms each at DHD-L scale (sublane relayout of s32)
-        "bin_cols": jnp.zeros((p_pad,), jnp.int32).at[:p].set(bin_s)
-        .reshape(nct, chunk_p, 1),
+        # every per-point table is lane-oriented (nct, 1, chunk_p): the
+        # kernel transposes loaded rows in-VMEM for its per-row masks.
+        # Column-shaped s32[nct, chunk_p, 1] plan entries are NOT free:
+        # XLA assigns them {1,2,0:T(1,128)} and inserts a 1.2 ms relayout
+        # copy per step per table at DHD-L scale (round-5 device trace).
+        "bin_rows": jnp.zeros((p_pad,), jnp.int32).at[:p].set(bin_s)
+        .reshape(nct, 1, chunk_p),
         "segv_rows": jnp.full((p_pad,), v_pad, jnp.int32).at[:p].set(segv_s)
         .reshape(nct, 1, chunk_p),
-        "segv_cols": jnp.full((p_pad,), v_pad, jnp.int32).at[:p].set(segv_s)
-        .reshape(nct, chunk_p, 1),
         "segb_rows": jnp.full((p_pad,), v_pad // dz, jnp.int32)
         .at[:p].set(segb_s).reshape(nct, 1, chunk_p),
         "band_grid": jnp.transpose(
@@ -325,7 +325,7 @@ def mghs_pool_pallas(depth: jnp.ndarray, feat: jnp.ndarray,
                     mode="clip")                         # (P_pad, C+D)
 
     vox, bev = mghs_pool_sorted_dual_fused(
-        gath, plan["bin_cols"], plan["segv_cols"], plan["segv_rows"],
+        gath, plan["bin_rows"], plan["segv_rows"],
         plan["segb_rows"], plan["tables"], num_vox, dz, c,
         interpret=interpret, out_dtype=feat.dtype)
     return (bev.reshape(b, dy, dx, c),
