@@ -135,11 +135,17 @@ class WindowMSA(nn.Module):
                              (2, 0, 1))                      # (h, N, N)
 
         if self.use_kernel:
-            from dhd_tpu.ops.window_attention import window_attention_pallas
+            from dhd_tpu.ops.window_attention import (
+                window_attention_pallas, window_attention_pallas_v2)
             m = (mask.astype(self.dtype) if mask is not None
                  else jnp.zeros((1, n, n), self.dtype))
-            out = window_attention_pallas(qkv, bias.astype(self.dtype), m,
-                                          heads=h)
+            # heads >= 16 (Swin-B stages 2-3): v1's per-(window, head)
+            # dot loop is latency-bound (stage 2 measured ~1.1 ms/block
+            # vs a ~0.12 ms roofline); v2 batches 128//hd heads per
+            # full-K MXU dot via block-diagonal tiles
+            fn = (window_attention_pallas_v2 if h >= 16
+                  else window_attention_pallas)
+            out = fn(qkv, bias.astype(self.dtype), m, heads=h)
             return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
         qkv = qkv.reshape(nwb, n, 3, h, head_dim)
@@ -193,12 +199,12 @@ class SwinBlock(nn.Module):
             mask = None
         wins = window_partition(y, ws)
         # the fused kernel is inference-only (no custom_vjp; training keeps
-        # the XLA einsum path whose backward XLA fuses).  At heads > 16
-        # (Swin-B stage 3: few, large windows) the per-(window, head) dot
-        # loop is latency-bound and measures slower than XLA — keep XLA.
+        # the XLA einsum path whose backward XLA fuses).  All head counts
+        # use a kernel: v1 below 16 heads, the head-grouped v2 at >= 16
+        # (the round-4 'heads <= 16 -> XLA' gate existed because v1's
+        # per-(window, head) loop lost to XLA at stage 3; v2 supersedes it)
         wins = WindowMSA(self.dim, self.num_heads, ws,
-                         use_kernel=(self.attn_kernel and not train
-                                     and self.num_heads <= 16),
+                         use_kernel=(self.attn_kernel and not train),
                          dtype=self.dtype, name="attn")(wins, mask)
         y = window_reverse(wins, ws, hp, wp)
         if shift:

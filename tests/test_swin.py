@@ -141,6 +141,42 @@ def test_window_attention_kernel_matches_xla():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_window_attention_kernel_v2_matches_xla():
+    """Head-grouped v2 kernel (interpret) == the XLA einsum path at
+    multi-group head counts (the heads>=16 production shape class)."""
+    from dhd_tpu.ops.window_attention import window_attention_pallas_v2
+    rng = np.random.default_rng(0)
+    # (n_img, heads, c): hd=16 -> hg=8; exercises ng=1 and ng=2, masked
+    # and unmasked
+    for n_img, heads, c in [(1, 8, 128), (4, 16, 256), (2, 8, 64)]:
+        w, n = 8, 16
+        hd = c // heads
+        qkv = jnp.asarray(rng.normal(0, 1, (w, n, 3 * c)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(0, 1, (heads, n, n))
+                           .astype(np.float32))
+        if n_img == 1:
+            mask = jnp.zeros((1, n, n), jnp.float32)
+        else:
+            mask = jnp.asarray(
+                (rng.integers(0, 2, (n_img, n, n)) * -100.0)
+                .astype(np.float32))
+
+        qr = qkv.reshape(w, n, 3, heads, hd)
+        q, k, v = qr[:, :, 0], qr[:, :, 1], qr[:, :, 2]
+        q = q * (hd ** -0.5)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) + bias[None]
+        attn = attn.reshape(w // n_img, n_img, heads, n, n) \
+            + mask[None, :, None]
+        attn = attn.reshape(w, heads, n, n)
+        p = jax.nn.softmax(attn, axis=-1)
+        ref = jnp.einsum("bhnm,bmhd->bnhd", p, v).reshape(w, n, c)
+
+        out = window_attention_pallas_v2(qkv, bias, mask, heads=heads,
+                                         interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_swin_attn_kernel_matches_xla_model():
     """attn_kernel=True (interpret-capable only via op test above on CPU;
     here: the flag plumbs through and train=True keeps the XLA path)."""

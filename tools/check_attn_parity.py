@@ -31,7 +31,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from dhd_tpu.nn.swin import _shift_attn_mask
-from dhd_tpu.ops.window_attention import window_attention_pallas
+from dhd_tpu.ops.window_attention import (window_attention_pallas,
+                                          window_attention_pallas_v2)
 
 # DHD-L: 6 cams, input 512x1408, patch stride 4 -> stage-0 map 128x352,
 # window 12 (padded to multiples of 12 per stage).  (hp, wp) after padding,
@@ -108,23 +109,32 @@ def main():
             out = np.asarray(
                 window_attention_pallas(qkv, bias, mask, heads=heads),
                 np.float32)
+            out2 = np.asarray(
+                window_attention_pallas_v2(qkv, bias, mask, heads=heads),
+                np.float32)
             # bf16 ulp at the output's scale (|out| ~ few units after
             # softmax-weighted averaging of unit-normal v)
             scale = np.abs(ref).max()
             ulp = float(np.spacing(np.float32(scale), dtype=np.float32)
                         ) * 2 ** (23 - 7)       # f32 ulp -> bf16 ulp
             diff = np.abs(out - ref).max()
-            worst = max(worst, diff / ulp)
+            diff2 = np.abs(out2 - ref).max()
+            worst = max(worst, diff / ulp, diff2 / ulp)
             t_xla = _time(_xla_path, qkv, bias, mask, heads, args.iters)
             t_pal = _time(
                 lambda q, b, m, h: window_attention_pallas(q, b, m,
                                                            heads=h),
                 qkv, bias, mask, heads, args.iters)
+            t_v2 = _time(
+                lambda q, b, m, h: window_attention_pallas_v2(q, b, m,
+                                                              heads=h),
+                qkv, bias, mask, heads, args.iters)
             print(f"stage{stage} heads={heads:2d} W={w:5d} {label:7s}: "
-                  f"max|diff|={diff:.3e} ({diff/ulp:5.2f} bf16-ulp @ "
+                  f"max|diff| v1={diff:.3e} v2={diff2:.3e} "
+                  f"({max(diff, diff2)/ulp:5.2f} bf16-ulp @ "
                   f"scale {scale:.1f})  xla {t_xla:7.3f} ms  "
-                  f"pallas {t_pal:7.3f} ms  "
-                  f"speedup {t_xla/t_pal:5.2f}x", flush=True)
+                  f"v1 {t_pal:7.3f} ms  v2 {t_v2:7.3f} ms  "
+                  f"best-speedup {t_xla/min(t_pal, t_v2):5.2f}x", flush=True)
     print(f"worst-case diff: {worst:.2f} bf16 ulp "
           f"({'PASS' if worst <= 4 else 'FAIL'} at <=4 ulp bar)")
     return 0 if worst <= 4 else 1
