@@ -139,11 +139,14 @@ class WindowMSA(nn.Module):
                 window_attention_pallas, window_attention_pallas_v2)
             m = (mask.astype(self.dtype) if mask is not None
                  else jnp.zeros((1, n, n), self.dtype))
-            # heads >= 16 (Swin-B stages 2-3): v1's per-(window, head)
-            # dot loop is latency-bound (stage 2 measured ~1.1 ms/block
-            # vs a ~0.12 ms roofline); v2 batches 128//hd heads per
-            # full-K MXU dot via block-diagonal tiles
-            fn = (window_attention_pallas_v2 if h >= 16
+            # v1's per-(window, head) dot loop is latency-bound (stage 2
+            # measured ~1.1 ms/block vs a ~0.12 ms roofline); v2 batches
+            # 128//hd heads per full-K MXU dot via block-diagonal tiles
+            # and beats XLA at every Swin-B stage (round-5 artifact,
+            # tools/check_attn_parity.py: 2.3x/1.9x/1.75x/1.2x) — use it
+            # whenever the head count divides into whole groups.
+            fn = (window_attention_pallas_v2
+                  if h % max(1, 128 // head_dim) == 0
                   else window_attention_pallas)
             out = fn(qkv, bias.astype(self.dtype), m, heads=h)
             return nn.Dense(c, dtype=self.dtype, name="proj")(out)
@@ -200,8 +203,9 @@ class SwinBlock(nn.Module):
         wins = window_partition(y, ws)
         # the fused kernel is inference-only (no custom_vjp; training keeps
         # the XLA einsum path whose backward XLA fuses).  All head counts
-        # use a kernel: v1 below 16 heads, the head-grouped v2 at >= 16
-        # (the round-4 'heads <= 16 -> XLA' gate existed because v1's
+        # use a kernel: the head-grouped v2 wherever heads divide into
+        # whole 128-lane groups (all Swin-B stages), v1 otherwise (the
+        # round-4 'heads <= 16 -> XLA' gate existed because v1's
         # per-(window, head) loop lost to XLA at stage 3; v2 supersedes it)
         wins = WindowMSA(self.dim, self.num_heads, ws,
                          use_kernel=(self.attn_kernel and not train),
