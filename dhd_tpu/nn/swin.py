@@ -12,6 +12,7 @@ no absolute pos embed, out_indices (2,3) -> channels (512, 1024).
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -35,6 +36,44 @@ def window_reverse(wins: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
     x = wins.reshape(b, h // ws, w // ws, ws, ws, -1)
     x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
     return x.reshape(b, h, w, -1)
+
+
+@functools.lru_cache(maxsize=None)
+def _window_perms(hp: int, wp: int, h: int, w: int, ws: int,
+                  shift: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Static row permutations replacing roll+window_partition and
+    window_reverse+unroll+crop.
+
+    Window partition/reverse are pure row permutations of the
+    (Hp*Wp, C) matrix (C is the lane dim and untouched), but XLA lowers
+    the reshape+transpose formulation through sublane-shuffling relayout
+    fusions measured ~8-26x off the HBM roofline (DHD-L stage 3:
+    12.4 ms/step of pure data movement, round-5 trace) — while a static
+    row gather of the same bytes rides the fast path (cf. the pool-plan
+    row-gather finding, README "Performance notes").  The cyclic shift
+    (jnp.roll) and the final [:h, :w] crop are themselves row
+    permutations/selections, so both fold into the same gather for free.
+
+    Returns (fwd, inv): ``fwd[widx*N + n]`` is the row of the PADDED
+    (hp, wp) map feeding window element n of window widx (shift already
+    applied); ``inv[i*w + j]`` is the (widx*N + n) row of the window
+    tensor that lands at cropped output position (i, j).
+    """
+    nw_w = wp // ws
+    wi, pi, wj, pj = np.meshgrid(
+        np.arange(hp // ws), np.arange(ws), np.arange(nw_w),
+        np.arange(ws), indexing="ij")
+    # forward: window element (wi, wj, pi, pj) reads rolled row
+    # (wi*ws+pi, wj*ws+pj) = padded row ((.+shift) % hp, (.+shift) % wp)
+    src = (((wi * ws + pi + shift) % hp) * wp
+           + (wj * ws + pj + shift) % wp)           # (nH, ws, nW, ws)
+    fwd = src.transpose(0, 2, 1, 3).reshape(-1)     # widx-major, N inner
+    # inverse: output (i, j) <- rolled row ((i-shift) % hp, (j-shift) % wp)
+    i, j = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    ri, rj = (i - shift) % hp, (j - shift) % wp
+    inv = ((ri // ws * nw_w + rj // ws) * (ws * ws)
+           + (ri % ws) * ws + rj % ws).reshape(-1)
+    return fwd.astype(np.int32), inv.astype(np.int32)
 
 
 def _relative_position_index(ws: int) -> np.ndarray:
@@ -195,12 +234,23 @@ class SwinBlock(nn.Module):
             y = jnp.pad(y, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
         hp, wp = h + pad_b, w + pad_r
         shift = ws // 2 if self.shift else 0
-        if shift:
-            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-            mask = jnp.asarray(_shift_attn_mask(hp, wp, ws, shift))
+        mask = (jnp.asarray(_shift_attn_mask(hp, wp, ws, shift))
+                if shift else None)
+        # inference: roll + partition (and below reverse + unroll + crop)
+        # as ONE static row gather each — numerically identical to the
+        # reshape/transpose formulation, but XLA's relayout lowering of
+        # the latter measured 12.4 ms/step at DHD-L stage 3 (see
+        # _window_perms).  Training keeps the transpose path (its
+        # backward fuses; gather grad is a scatter).
+        gather_path = not train
+        if gather_path:
+            fwd, _ = _window_perms(hp, wp, h, w, ws, shift)
+            wins = jnp.take(y.reshape(b, hp * wp, c), jnp.asarray(fwd),
+                            axis=1).reshape(-1, ws * ws, c)
         else:
-            mask = None
-        wins = window_partition(y, ws)
+            if shift:
+                y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            wins = window_partition(y, ws)
         # the fused kernel is inference-only (no custom_vjp; training keeps
         # the XLA einsum path whose backward XLA fuses).  All head counts
         # use a kernel: the head-grouped v2 wherever heads divide into
@@ -210,10 +260,15 @@ class SwinBlock(nn.Module):
         wins = WindowMSA(self.dim, self.num_heads, ws,
                          use_kernel=(self.attn_kernel and not train),
                          dtype=self.dtype, name="attn")(wins, mask)
-        y = window_reverse(wins, ws, hp, wp)
-        if shift:
-            y = jnp.roll(y, (shift, shift), axis=(1, 2))
-        y = y[:, :h, :w].reshape(b, l, c)
+        if gather_path:
+            _, inv = _window_perms(hp, wp, h, w, ws, shift)
+            y = jnp.take(wins.reshape(b, -1, c), jnp.asarray(inv),
+                         axis=1)                          # (B, h*w, C)
+        else:
+            y = window_reverse(wins, ws, hp, wp)
+            if shift:
+                y = jnp.roll(y, (shift, shift), axis=(1, 2))
+            y = y[:, :h, :w].reshape(b, l, c)
         x = shortcut + DropPath(self.drop_path, name="dp1")(y, train)
 
         y = FusedLayerNorm(use_kernel=lnk, dtype=self.dtype,

@@ -7,7 +7,7 @@ import pytest
 
 from dhd_tpu.nn.swin import (
     SwinTransformer, _relative_position_index, _shift_attn_mask,
-    window_partition, window_reverse)
+    _window_perms, window_partition, window_reverse)
 
 
 def _small_swin(**kw):
@@ -23,6 +23,46 @@ def test_window_roundtrip():
     assert wins.shape == (2 * 2 * 3, 16, 5)
     back = window_reverse(wins, 4, 8, 12)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+@pytest.mark.parametrize("h,w,ws,shift", [
+    (16, 44, 12, 6), (16, 44, 12, 0), (7, 9, 4, 2), (8, 8, 4, 0)])
+def test_window_perms_match_transpose_path(h, w, ws, shift):
+    """The inference row-gather formulation (roll+partition and
+    reverse+unroll+crop folded into static permutations) must be
+    bit-identical to the reshape/transpose formulation."""
+    pad_b, pad_r = (ws - h % ws) % ws, (ws - w % ws) % ws
+    hp, wp = h + pad_b, w + pad_r
+    rng = np.random.default_rng(1)
+    b, c = 2, 6
+    x = jnp.asarray(rng.normal(0, 1, (b, h, w, c)).astype(np.float32))
+    y = jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    yr = jnp.roll(y, (-shift, -shift), axis=(1, 2)) if shift else y
+    wins_ref = window_partition(yr, ws)
+    fwd, inv = _window_perms(hp, wp, h, w, ws, shift)
+    wins_g = jnp.take(y.reshape(b, hp * wp, c), jnp.asarray(fwd),
+                      axis=1).reshape(-1, ws * ws, c)
+    np.testing.assert_array_equal(np.asarray(wins_ref), np.asarray(wins_g))
+    back = window_reverse(wins_ref, ws, hp, wp)
+    if shift:
+        back = jnp.roll(back, (shift, shift), axis=(1, 2))
+    back = back[:, :h, :w].reshape(b, h * w, c)
+    back_g = jnp.take(wins_g.reshape(b, -1, c), jnp.asarray(inv), axis=1)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(back_g))
+
+
+def test_swin_train_eval_paths_match():
+    """train=False takes the gather path, train=True the transpose path
+    (DropPath/dropout are inert without rngs at rate 0) — same numbers."""
+    m = _small_swin(drop_path_rate=0.0)
+    x = jnp.asarray(np.random.default_rng(2).normal(
+        0, 1, (1, 16, 16, 3)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    eval_out = m.apply(params, x, train=False)
+    train_out = m.apply(params, x, train=True)
+    for a, b in zip(eval_out, train_out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
 
 
 def test_relative_position_index_range():
